@@ -1,0 +1,276 @@
+"""Golden-value tests for the pure ops library against the reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yanerf_tpu import ops
+
+
+def test_get_xy_grid_layout():
+    grid = np.asarray(ops.get_xy_grid(3, 4))
+    assert grid.shape == (3, 4, 2)
+    # [..., 0] is x (column index), [..., 1] is y (row index)
+    assert np.allclose(grid[0, :, 0], [0, 1, 2, 3])
+    assert np.allclose(grid[:, 0, 1], [0, 1, 2])
+
+
+def test_xy_to_ray_bundle_identity_pose():
+    H, W, f = 4, 6, 2.0
+    poses = jnp.broadcast_to(jnp.eye(3, 4), (1, 3, 4))
+    xy = ops.get_xy_grid(H, W)[None]
+    bundle = ops.xy_to_ray_bundle(poses, W, H, jnp.asarray([f]), xy, 1.0, 3.0, 5, False)
+
+    assert bundle.origins.shape == (1, H, W, 3)
+    assert np.allclose(np.asarray(bundle.origins), 0.0)
+    dirs = np.asarray(bundle.directions)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    assert np.allclose(dirs[0, ..., 0], (xs - W * 0.5) / f, atol=1e-6)
+    assert np.allclose(dirs[0, ..., 1], (ys - H * 0.5) / f, atol=1e-6)
+    assert np.allclose(dirs[0, ..., 2], 1.0)
+    lengths = np.asarray(bundle.lengths)
+    assert lengths.shape == (1, H, W, 5)
+    assert np.allclose(lengths[0, 0, 0], np.linspace(1.0, 3.0, 5), atol=1e-6)
+
+
+def test_xy_to_ray_bundle_rotation_translation():
+    # 90 deg rotation around z plus translation: d_world = R @ d_cam.
+    R = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=np.float32)
+    t = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+    pose = np.concatenate([R, t[:, None]], axis=1)[None]
+    xy = jnp.asarray([[[[3.0, 2.0]]]])  # x=3, y=2 — shape (1,1,1,2)
+    W = H = 4
+    f = 2.0
+    bundle = ops.xy_to_ray_bundle(jnp.asarray(pose), W, H, jnp.asarray([f]), xy, 1.0, 2.0, 2, False)
+    d_cam = np.array([(3.0 - 2.0) / f, (2.0 - 2.0) / f, 1.0])
+    assert np.allclose(np.asarray(bundle.directions)[0, 0, 0], R @ d_cam, atol=1e-6)
+    assert np.allclose(np.asarray(bundle.origins)[0, 0, 0], t)
+
+
+def test_jiggle_within_stratas_bounds():
+    rng = jax.random.PRNGKey(0)
+    z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9), (128, 9))
+    jiggled = np.asarray(ops.jiggle_within_stratas(rng, z))
+    mids = 0.5 * (np.asarray(z)[..., 1:] + np.asarray(z)[..., :-1])
+    lower = np.concatenate([np.asarray(z)[..., :1], mids], -1)
+    upper = np.concatenate([mids, np.asarray(z)[..., -1:]], -1)
+    assert (jiggled >= lower - 1e-6).all() and (jiggled <= upper + 1e-6).all()
+    # jiggled values remain sorted per-ray
+    assert (np.diff(jiggled, axis=-1) >= -1e-6).all()
+
+
+def test_ray_bundle_to_ray_points():
+    origins = jnp.asarray([[1.0, 0.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 2.0, 0.0]])
+    lengths = jnp.asarray([[0.5, 1.0]])
+    pts = np.asarray(ops.ray_bundle_to_ray_points(origins, dirs, lengths))
+    assert pts.shape == (1, 2, 3)
+    assert np.allclose(pts[0, 0], [1.0, 1.0, 0.0])
+    assert np.allclose(pts[0, 1], [1.0, 2.0, 0.0])
+
+
+def test_harmonic_embedding_matches_reference_layout():
+    x = jnp.asarray([[0.1, -0.2, 0.3]])
+    out = np.asarray(ops.harmonic_embedding(x, n_harmonic_functions=2, append_input=True))
+    freqs = np.array([1.0, 2.0], dtype=np.float32)
+    inner = (np.asarray(x)[..., None] * freqs).reshape(1, -1)  # freq varies fastest
+    expected = np.concatenate([np.sin(inner), np.cos(inner), np.asarray(x)], axis=-1)
+    assert out.shape == (1, 3 * (2 * 2 + 1))
+    assert np.allclose(out, expected, atol=1e-6)
+
+
+def _sample_pdf_numpy(bins, weights, u, eps=1e-5):
+    """Independent numpy reimplementation of the reference inverse CDF."""
+    weights = weights + eps
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = np.cumsum(pdf, -1)
+    cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)
+    out = np.empty_like(u)
+    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
+    flat_bins = bins.reshape(-1, bins.shape[-1])
+    flat_u = u.reshape(-1, u.shape[-1])
+    flat_out = out.reshape(-1, u.shape[-1])
+    for i in range(flat_cdf.shape[0]):
+        inds = np.searchsorted(flat_cdf[i], flat_u[i], side="right")
+        below = np.clip(inds - 1, 0, flat_cdf.shape[-1] - 1)
+        above = np.clip(inds, 0, flat_cdf.shape[-1] - 1)
+        denom = flat_cdf[i][above] - flat_cdf[i][below]
+        denom = np.where(denom < eps, 1.0, denom)
+        t = (flat_u[i] - flat_cdf[i][below]) / denom
+        flat_out[i] = flat_bins[i][below] + t * (flat_bins[i][above] - flat_bins[i][below])
+    return out
+
+
+@pytest.mark.parametrize("det", [True, False])
+def test_sample_pdf_matches_numpy_reference(det):
+    rng = np.random.RandomState(0)
+    bins = np.sort(rng.rand(4, 17).astype(np.float32) * 4.0, axis=-1)
+    weights = rng.rand(4, 16).astype(np.float32)
+
+    n_samples = 8
+    if det:
+        samples = ops.sample_pdf(jnp.asarray(bins), jnp.asarray(weights), n_samples, det=True)
+        u = np.broadcast_to(np.linspace(0, 1, n_samples, dtype=np.float32), (4, n_samples))
+    else:
+        key = jax.random.PRNGKey(3)
+        samples = ops.sample_pdf(jnp.asarray(bins), jnp.asarray(weights), n_samples, rng=key)
+        u = np.asarray(jax.random.uniform(key, (4, n_samples)))
+    expected = _sample_pdf_numpy(bins, weights, u.astype(np.float32))
+    assert np.allclose(np.asarray(samples), expected, atol=1e-5)
+
+
+def test_sample_pdf_uniform_weights_det_is_linspace():
+    bins = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 65), (3, 65))
+    weights = jnp.ones((3, 64))
+    samples = np.asarray(ops.sample_pdf(bins, weights, 33, det=True))
+    assert np.allclose(samples, np.broadcast_to(np.linspace(2.0, 6.0, 33), (3, 33)), atol=1e-3)
+
+
+def test_sample_pdf_concentrates_mass():
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (1, 11))
+    weights = jnp.zeros((1, 10)).at[0, 4].set(100.0)
+    samples = np.asarray(ops.sample_pdf(bins, weights, 64, rng=jax.random.PRNGKey(0)))
+    in_bin = ((samples >= 0.4) & (samples <= 0.5)).mean()
+    assert in_bin > 0.95
+
+
+def test_emission_absorption_analytic():
+    # Two points on one ray, unit direction, known densities.
+    lengths = jnp.asarray([[1.0, 2.0]])
+    directions = jnp.asarray([[0.0, 0.0, 1.0]])
+    sigma = np.array([0.7, 0.4], dtype=np.float32)
+    densities = jnp.asarray(sigma).reshape(1, 2, 1)
+    colors = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+
+    features, depths, opacities, weights = ops.emission_absorption(
+        densities, colors, lengths, directions, background_opacity=1e10
+    )
+    # deltas = [1, 1e10]; opacity_i = 1 - exp(-cumsum(delta * sigma))
+    cum = np.cumsum(np.array([1.0, 1e10]) * sigma)
+    rays_op = 1.0 - np.exp(-cum)
+    absorption = np.array([1.0, 1.0 - rays_op[0]])
+    cap = 1.0 - np.exp(-np.array([1.0, 1e10]) * sigma)
+    w_expected = cap * absorption
+    assert np.allclose(np.asarray(weights)[0], w_expected, atol=1e-6)
+    assert np.allclose(np.asarray(opacities)[0], rays_op[-1:], atol=1e-6)
+    assert np.allclose(np.asarray(depths)[0], (w_expected * np.array([1.0, 2.0])).sum(), atol=1e-6)
+    feat_expected = w_expected[0] * np.array([1, 0, 0]) + w_expected[1] * np.array([0, 1, 0])
+    assert np.allclose(np.asarray(features)[0], feat_expected, atol=1e-6)
+
+
+def test_emission_absorption_direction_norm_scaling():
+    lengths = jnp.asarray([[1.0, 1.5, 2.0]])
+    densities = jnp.full((1, 3, 1), 0.5)
+    colors = jnp.ones((1, 3, 3))
+    _, _, _, w_unit = ops.emission_absorption(densities, colors, lengths, jnp.asarray([[0.0, 0.0, 1.0]]))
+    _, _, _, w_double = ops.emission_absorption(densities, colors, lengths, jnp.asarray([[0.0, 0.0, 2.0]]))
+    # doubling ||d|| doubles the effective deltas -> more absorption up front
+    assert np.asarray(w_double)[0, 0] > np.asarray(w_unit)[0, 0]
+
+
+def test_emission_absorption_weights_bounded():
+    rng = jax.random.PRNGKey(1)
+    densities = jax.random.uniform(rng, (2, 5, 16, 1)) * 5
+    colors = jax.random.uniform(rng, (2, 5, 16, 3))
+    lengths = jnp.broadcast_to(jnp.linspace(1.0, 4.0, 16), (2, 5, 16))
+    dirs = jax.random.normal(rng, (2, 5, 3))
+    _, _, _, weights = ops.emission_absorption(densities, colors, lengths, dirs)
+    sums = np.asarray(jnp.sum(weights, -1))
+    assert (sums <= 1.0 + 1e-5).all() and (sums >= 0.0).all()
+
+
+def test_emission_absorption_background_blending():
+    lengths = jnp.asarray([[1.0, 2.0]])
+    directions = jnp.asarray([[0.0, 0.0, 1.0]])
+    densities = jnp.zeros((1, 2, 1))
+    colors = jnp.zeros((1, 2, 3))
+    bg = jnp.asarray([[0.2, 0.4, 0.6]])
+    features, _, opacities, _ = ops.emission_absorption(
+        densities, colors, lengths, directions, bg_color=bg, background_opacity=0.0
+    )
+    # Zero density -> fully transparent -> pure background.
+    assert np.allclose(np.asarray(opacities), 0.0, atol=1e-6)
+    assert np.allclose(np.asarray(features), np.asarray(bg), atol=1e-6)
+
+
+def test_emission_absorption_hard_background():
+    lengths = jnp.asarray([[1.0, 2.0]])
+    directions = jnp.asarray([[0.0, 0.0, 1.0]])
+    densities = jnp.zeros((1, 2, 1))
+    colors = jnp.zeros((1, 2, 3))
+    bg = jnp.asarray([[0.5, 0.5, 0.5]])
+    # With zero predicted density, the 1e10-sentinel delta only absorbs mass
+    # through the background_density_bias (how lego.yml composes black bg).
+    features, _, _, weights = ops.emission_absorption(
+        densities, colors, lengths, directions, bg_color=bg, hard_background=True,
+        background_density_bias=1e-6, background_opacity=1e10,
+    )
+    # Last (sentinel) sample carries all remaining weight and the bg color.
+    assert np.allclose(np.asarray(weights)[0, -1], 1.0, atol=1e-4)
+    assert np.allclose(np.asarray(features)[0], [0.5, 0.5, 0.5], atol=1e-4)
+
+
+def test_weighted_sampling_without_replacement_unique_and_masked():
+    rng = jax.random.PRNGKey(0)
+    weights = jnp.ones((4, 100)).at[:, 50:].set(0.0)
+    idx = np.asarray(ops.weighted_sample_without_replacement(rng, weights, 30))
+    assert idx.shape == (4, 30)
+    for row in idx:
+        assert len(set(row.tolist())) == 30  # no replacement
+        assert (row < 50).all()  # zero-weight pixels never sampled
+
+
+def test_weighted_sampling_proportionality():
+    # Index 0 has 10x the weight of others; it should nearly always be drawn.
+    rng = jax.random.PRNGKey(0)
+    weights = jnp.ones((512, 20)).at[:, 0].set(1000.0)
+    idx = np.asarray(ops.weighted_sample_without_replacement(rng, weights, 1))
+    assert (idx[:, 0] == 0).mean() > 0.9
+
+
+def test_sample_grid_and_scatter_roundtrip():
+    # Mirrors reference tests/test_pipeline_utils.py: select pixels, gather,
+    # scatter back, gather again -> identical values.
+    rng = jax.random.PRNGKey(0)
+    B, H, W, C = 2, 6, 10, 3
+    image = jax.random.uniform(rng, (B, H, W, C))
+    grid = ops.get_xy_grid(H, W)[None].repeat(B, axis=0).reshape(B, -1, 2)
+    sel = ops.weighted_sample_without_replacement(rng, jnp.ones((B, H * W)), 13)
+    xys = jnp.take_along_axis(grid, sel[..., None], axis=1)[:, :, None]  # (B, 13, 1, 2)
+
+    gathered = ops.sample_grid(image, xys)
+    assert gathered.shape == (B, 13, 1, C)
+    scattered = ops.scatter_rays_to_image(gathered, xys, H, W)
+    regathered = ops.sample_grid(scattered, xys)
+    assert np.allclose(np.asarray(gathered), np.asarray(regathered), atol=1e-6)
+
+
+def test_metrics_analytic():
+    x = jnp.asarray([[0.5, 0.5, 0.5, 0.5]])
+    y = jnp.zeros((1, 4))
+    mse = np.asarray(ops.calc_mse(x, y))
+    assert np.allclose(mse, 0.25)
+    psnr = np.asarray(ops.calc_psnr(x, y))
+    assert np.allclose(psnr, -10 * np.log10(0.25), atol=1e-4)
+    hub = np.asarray(ops.huber(jnp.asarray([0.0]), scaling=0.03))
+    assert abs(hub[0] - ((np.sqrt(1 + 1e-4) - 1) * 0.03)) < 1e-7
+
+
+def test_eval_depth_best_scale_recovery():
+    rng = jax.random.PRNGKey(0)
+    gt = jax.random.uniform(rng, (2, 8, 8, 1)) + 0.5
+    pred = gt * 2.0  # off by a global scale
+    mse, abs_err = ops.eval_depth(pred, gt, crop=0, get_best_scale=True)
+    assert np.asarray(mse).max() < 1e-10
+    assert np.asarray(abs_err).max() < 1e-5
+
+
+def test_view_metrics_full_grid_identity():
+    rng = jax.random.PRNGKey(0)
+    B, H, W = 2, 4, 5
+    img = jax.random.uniform(rng, (B, H, W, 3))
+    xys = ops.get_xy_grid(H, W)[None].repeat(B, axis=0)
+    metrics = ops.view_metrics(xys, images=img, images_pred=img)
+    assert np.allclose(np.asarray(metrics["loss_rgb_mse"]), 0.0, atol=1e-8)
+    assert metrics["loss_rgb_mse"].shape == (B,)

@@ -1,0 +1,75 @@
+"""Parameterized linear layers as explicit pytrees + init/apply functions.
+
+Weights are stored ``(in_features, out_features)`` (transposed vs torch) so
+the forward pass is a plain ``x @ w + b`` row-major matmul that XLA tiles
+directly onto the MXU. Initializers reproduce the reference's distributions:
+xavier-uniform where the reference calls ``_xavier_init`` (models/nerf_mlp.py:292),
+and torch's default Linear init elsewhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+def init_linear_xavier(rng: jax.Array, in_features: int, out_features: int, zero_bias: bool = False) -> Params:
+    """Xavier-uniform weight; torch-default uniform bias (or zeros)."""
+    w_key, b_key = jax.random.split(rng)
+    w_bound = math.sqrt(6.0 / (in_features + out_features))
+    w = jax.random.uniform(w_key, (in_features, out_features), minval=-w_bound, maxval=w_bound, dtype=jnp.float32)
+    if zero_bias:
+        b = jnp.zeros((out_features,), dtype=jnp.float32)
+    else:
+        b_bound = 1.0 / math.sqrt(in_features) if in_features > 0 else 0.0
+        b = jax.random.uniform(b_key, (out_features,), minval=-b_bound, maxval=b_bound, dtype=jnp.float32)
+    return {"w": w, "b": b}
+
+
+def init_linear_default(rng: jax.Array, in_features: int, out_features: int) -> Params:
+    """torch.nn.Linear default init: U(+-1/sqrt(fan_in)) for weight and bias."""
+    w_key, b_key = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_features) if in_features > 0 else 0.0
+    w = jax.random.uniform(w_key, (in_features, out_features), minval=-bound, maxval=bound, dtype=jnp.float32)
+    b = jax.random.uniform(b_key, (out_features,), minval=-bound, maxval=bound, dtype=jnp.float32)
+    return {"w": w, "b": b}
+
+
+def linear(params: Params, x: jax.Array, compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """``x @ w + b`` with optional low-precision matmul, f32 accumulation."""
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        y = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype), preferred_element_type=jnp.float32)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + b
+
+
+def linear_with_repeat(
+    params: Params,
+    x: jax.Array,
+    y: jax.Array,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Fused linear over per-point ``x (..., P, n1)`` and per-ray ``y (..., n2)``.
+
+    Equivalent to concatenating ``y`` (broadcast over P) to ``x`` and applying
+    one ``(n1 + n2, out)`` linear, but without materializing the concat —
+    reference ``LinearWithRepeat`` (models/utils.py:135-211). The weight stays
+    a single matrix so torch checkpoints map 1:1.
+    """
+    w, b = params["w"], params["b"]
+    n1 = x.shape[-1]
+    w1, w2 = w[:n1], w[n1:]
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        out1 = jnp.dot(x.astype(compute_dtype), w1.astype(compute_dtype), preferred_element_type=jnp.float32)
+        out2 = jnp.dot(y.astype(compute_dtype), w2.astype(compute_dtype), preferred_element_type=jnp.float32)
+    else:
+        out1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+        out2 = jnp.dot(y, w2, preferred_element_type=jnp.float32)
+    return out1 + b + out2[..., None, :]

@@ -1,0 +1,229 @@
+"""The NeRF implicit function as an init/apply pair over a param pytree.
+
+Behavioural reference: ``NeRFMLP`` + ``MLPWithInputSkips`` at
+/root/reference/yanerf/pipelines/models/nerf_mlp.py:13-335 and the embedding
+helpers at models/nerf_mlp.py:299-335. Architecture:
+
+  * harmonic embedding of ray points (10 freqs) and normalized directions (4);
+  * ``n_layers`` MLP with the input re-concatenated at ``input_skips`` layers;
+  * density head with zero-initialized bias (avoids transparent init);
+  * color head: intermediate linear -> fused ``linear_with_repeat`` over
+    (per-point features, per-ray direction embedding) -> ReLU -> [extra
+    ``nerf_paper_v1`` layers] -> linear -> sigmoid;
+  * optional ``global_codes`` latent conditioning broadcast-concatenated onto
+    the xyz embedding (pixelNeRF-style).
+
+TPU-first notes: the model is stateless — ``init`` builds the param pytree,
+``apply`` is a pure function safe under jit/grad/vmap/shard_map. All heavy ops
+are batched matmuls over the flattened (rays x points) axis; an optional
+``compute_dtype='bfloat16'`` runs matmuls on the MXU in bf16 with f32
+accumulation while keeping params and head outputs in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from yanerf_tpu.ops.harmonics import harmonic_embedding, harmonic_embedding_dim
+from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+
+from .builder import MODELS
+from .layers import init_linear_default, init_linear_xavier, linear, linear_with_repeat
+
+
+@MODELS.register_module()
+class NeRFMLP:
+    def __init__(
+        self,
+        n_layers: int = 8,
+        input_skips: Sequence[int] = (5,),
+        n_harmonic_functions_xyz: int = 10,
+        harmonic_functions_xyz_append_intput: bool = True,
+        n_hidden_neurons_xyz: int = 256,
+        n_harmonic_functions_dir: int = 4,
+        harmonic_functions_dir_append_intput: bool = True,
+        n_hidden_neurons_dir: int = 128,
+        latent_dim: int = 0,
+        input_xyz: bool = True,
+        input_dir: bool = True,
+        color_dim: int = 3,
+        nerf_paper_v1: bool = False,
+        compute_dtype: str = "float32",
+        use_pallas: bool = False,
+    ) -> None:
+        if not input_xyz and latent_dim <= 0:
+            raise ValueError("The latent dimension has to be > 0 if xyz is not input!")
+
+        self.n_layers = n_layers
+        self.input_skips = tuple(input_skips)
+        self.n_harmonic_functions_xyz = n_harmonic_functions_xyz
+        self.harmonic_functions_xyz_append_intput = harmonic_functions_xyz_append_intput
+        self.n_hidden_neurons_xyz = n_hidden_neurons_xyz
+        self.n_harmonic_functions_dir = n_harmonic_functions_dir
+        self.harmonic_functions_dir_append_intput = harmonic_functions_dir_append_intput
+        self.n_hidden_neurons_dir = n_hidden_neurons_dir
+        self.latent_dim = latent_dim
+        self.input_xyz = input_xyz
+        self.input_dir = input_dir
+        self.color_dim = color_dim
+        self.nerf_paper_v1 = nerf_paper_v1
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.use_pallas = use_pallas
+
+        self.embedding_dim_xyz = harmonic_embedding_dim(3, n_harmonic_functions_xyz, harmonic_functions_xyz_append_intput)
+        self.embedding_dim_dir = harmonic_embedding_dim(3, n_harmonic_functions_dir, harmonic_functions_dir_append_intput)
+        self.input_dim = self.embedding_dim_xyz * int(input_xyz) + latent_dim
+        self.n_extra_color_layers = (n_layers // 4) if nerf_paper_v1 else 0
+
+    # -- init ---------------------------------------------------------------
+    def init(self, rng: jax.Array) -> Dict[str, Any]:
+        keys = jax.random.split(rng, 4)
+
+        # xyz encoder: n_layers linears, skip concat re-widens the input.
+        mlp_keys = jax.random.split(keys[0], self.n_layers)
+        mlp_layers: List[Dict[str, jax.Array]] = []
+        for li in range(self.n_layers):
+            dim_in = self.n_hidden_neurons_xyz if li > 0 else self.input_dim
+            dim_out = self.n_hidden_neurons_xyz
+            if li > 0 and li in self.input_skips:
+                dim_in = self.n_hidden_neurons_xyz + self.input_dim
+            mlp_layers.append(init_linear_xavier(mlp_keys[li], dim_in, dim_out))
+
+        intermediate = init_linear_xavier(keys[1], self.n_hidden_neurons_xyz, self.n_hidden_neurons_xyz)
+        density = init_linear_xavier(keys[2], self.n_hidden_neurons_xyz, 1, zero_bias=True)
+
+        color_in = self.n_hidden_neurons_xyz + (self.embedding_dim_dir if self.input_dir else 0)
+        color_keys = jax.random.split(keys[3], 2 + self.n_extra_color_layers)
+        color_layers = [init_linear_default(color_keys[0], color_in, self.n_hidden_neurons_dir)]
+        for i in range(self.n_extra_color_layers):
+            color_layers.append(init_linear_default(color_keys[1 + i], self.n_hidden_neurons_dir, self.n_hidden_neurons_dir))
+        color_layers.append(init_linear_default(color_keys[-1], self.n_hidden_neurons_dir, self.color_dim))
+
+        return {
+            "xyz_encoder": {"mlp": mlp_layers},
+            "intermediate_linear": intermediate,
+            "density_layer": density,
+            "color_layer": color_layers,
+        }
+
+    # -- apply --------------------------------------------------------------
+    def _encode_xyz(self, params: Dict[str, Any], embeds: jax.Array) -> jax.Array:
+        y = embeds
+        z = embeds
+        for li, layer in enumerate(params["xyz_encoder"]["mlp"]):
+            if li in self.input_skips and li > 0:
+                y = jnp.concatenate([y, z], axis=-1)
+            y = jax.nn.relu(linear(layer, y, self.compute_dtype))
+        return y
+
+    def _get_colors(self, params: Dict[str, Any], features: jax.Array, rays_directions: jax.Array) -> jax.Array:
+        color_layers = params["color_layer"]
+        inter = linear(params["intermediate_linear"], features, self.compute_dtype)
+        if self.input_dir:
+            dir_norm = rays_directions / jnp.clip(
+                jnp.linalg.norm(rays_directions, axis=-1, keepdims=True), min=1e-12
+            )
+            rays_embedding = harmonic_embedding(
+                dir_norm, self.n_harmonic_functions_dir, append_input=self.harmonic_functions_dir_append_intput
+            )
+            color = linear_with_repeat(color_layers[0], inter, rays_embedding, self.compute_dtype)
+        else:
+            color = linear(color_layers[0], inter, self.compute_dtype)
+        color = jax.nn.relu(color)
+        for layer in color_layers[1:-1]:
+            color = jax.nn.relu(linear(layer, color, self.compute_dtype))
+        return jax.nn.sigmoid(linear(color_layers[-1], color, self.compute_dtype))
+
+    def apply(
+        self,
+        params: Dict[str, Any],
+        origins: jax.Array,
+        directions: jax.Array,
+        lengths: jax.Array,
+        global_codes: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        """Evaluate densities/colors for all ray points.
+
+        Args:
+            origins/directions: ``(B, *spatial, 3)``.
+            lengths: ``(B, *spatial, P)``.
+            global_codes: optional ``(B, latent_dim)`` (or ``(B, N, D)`` with
+                ``N*D == latent_dim``) conditioning codes.
+
+        Returns:
+            ``rays_densities (B, *spatial, P, 1)``,
+            ``rays_features (B, *spatial, P, color_dim)``, ``aux``.
+        """
+        points = ray_bundle_to_ray_points(origins, directions, lengths)
+
+        if global_codes is not None:
+            global_codes = global_codes.reshape(global_codes.shape[0], -1)
+            if global_codes.shape[-1] != self.latent_dim:
+                raise ValueError(
+                    f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {self.latent_dim}"
+                )
+        elif self.latent_dim != 0:
+            raise ValueError("latent_dim > 0 requires global_codes")
+
+        if self.input_xyz:
+            embeds = harmonic_embedding(
+                points, self.n_harmonic_functions_xyz, append_input=self.harmonic_functions_xyz_append_intput
+            )
+        else:
+            embeds = jnp.zeros((*points.shape[:-1], 0), dtype=points.dtype)
+
+        if global_codes is not None:
+            bs = embeds.shape[0]
+            broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (self.latent_dim,)
+            codes = jnp.broadcast_to(
+                global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], self.latent_dim)
+            )
+            embeds = jnp.concatenate([embeds, codes], axis=-1)
+
+        if self.use_pallas:
+            from yanerf_tpu.ops.pallas import nerf_mlp_forward_pallas
+
+            raw_densities, rays_colors = nerf_mlp_forward_pallas(self, params, embeds, directions)
+        else:
+            features = self._encode_xyz(params, embeds)
+            raw_densities = linear(params["density_layer"], features, self.compute_dtype)
+            rays_colors = self._get_colors(params, features, directions)
+
+        return dict(rays_densities=raw_densities, rays_features=rays_colors, aux={})
+
+
+@MODELS.register_module()
+class ZeroOutputer:
+    """Debug/fake model emitting zero densities/colors for analytic tests.
+
+    Behavioural reference: models/zero_outputer.py:14-36.
+    """
+
+    latent_dim = 0
+
+    def __init__(self) -> None:
+        pass
+
+    def init(self, rng: jax.Array) -> Dict[str, Any]:
+        # A dummy parameter keeps optimizers and pytree plumbing uniform.
+        return {"dummy": jnp.zeros((1,), dtype=jnp.float32)}
+
+    def apply(
+        self,
+        params: Dict[str, Any],
+        origins: jax.Array,
+        directions: jax.Array,
+        lengths: jax.Array,
+        global_codes: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        batch, *spatial, _ = origins.shape
+        n_pts = lengths.shape[-1]
+        zero = params["dummy"][0] * 0.0
+        densities = jnp.zeros((batch, *spatial, n_pts, 1), dtype=origins.dtype) + zero
+        colors = jnp.zeros((batch, *spatial, n_pts, 3), dtype=origins.dtype) + zero
+        return dict(rays_densities=densities, rays_features=colors, aux={})

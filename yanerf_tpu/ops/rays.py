@@ -1,0 +1,141 @@
+"""Camera-to-ray geometry, as pure jnp functions.
+
+Behavioural reference (numerics must match in float32):
+  * ``get_xy_grid`` — reference yanerf/pipelines/ray_samplers/utils.py:12-24
+  * ``xy_to_ray_bundle`` — reference ray_samplers/ray_sampler.py:249-314
+  * ``jiggle_within_stratas`` — reference ray_samplers/ray_sampler.py:361-386
+  * ``ray_bundle_to_ray_points`` — reference pipelines/models/utils.py:214-245
+  * ``get_min_max_depth_bounds`` — reference ray_samplers/ray_sampler.py:389-401
+
+All functions are shape-polymorphic over leading/spatial dims, take explicit
+``jax.random`` keys for stochastic parts, and contain no Python-level data
+dependence so they trace cleanly under ``jit``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .structures import RayBundle
+
+
+@lru_cache(maxsize=32)
+def _xy_grid_np(image_height: int, image_width: int) -> np.ndarray:
+    ys, xs = np.meshgrid(
+        np.arange(image_height, dtype=np.float32),
+        np.arange(image_width, dtype=np.float32),
+        indexing="ij",
+    )
+    return np.stack([xs, ys], axis=-1)
+
+
+def get_xy_grid(image_height: int, image_width: int) -> jax.Array:
+    """Pixel-coordinate grid of shape ``(H, W, 2)``; ``[..., 0]`` is x (column)."""
+    return jnp.asarray(_xy_grid_np(image_height, image_width))
+
+
+def jiggle_within_stratas(rng: jax.Array, bin_centers: jax.Array) -> jax.Array:
+    """Stratified resampling: one uniform sample per bin around each center.
+
+    Each value ``z`` is replaced by a uniform draw on ``[z - d-, z + d+]`` where
+    the deltas are half-distances to the neighbouring centers (zero at the ends).
+    """
+    mids = 0.5 * (bin_centers[..., 1:] + bin_centers[..., :-1])
+    upper = jnp.concatenate([mids, bin_centers[..., -1:]], axis=-1)
+    lower = jnp.concatenate([bin_centers[..., :1], mids], axis=-1)
+    u = jax.random.uniform(rng, lower.shape, dtype=lower.dtype)
+    return lower + (upper - lower) * u
+
+
+def xy_to_ray_bundle(
+    poses: jax.Array,
+    image_width: int,
+    image_height: int,
+    focal_lengths: jax.Array,
+    xy_grid: jax.Array,
+    min_depth: Union[float, jax.Array],
+    max_depth: Union[float, jax.Array],
+    n_pts_per_ray: int,
+    stratified_sampling: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> RayBundle:
+    """Unproject pixel coordinates into world-space rays with depth samples.
+
+    Args:
+        poses: ``(B, 3, 4)`` camera-to-world matrices (rotation | translation).
+        image_width/image_height: the *intrinsic* sensor size used for the
+            principal point — note this is the sampler's static size, even when
+            ``xy_grid`` covers a different (overridden) resolution, matching the
+            reference semantics.
+        focal_lengths: ``(B,)`` or ``(B, 1)`` focal lengths in pixels.
+        xy_grid: ``(B, *spatial, 2)`` pixel coordinates to unproject.
+        min_depth/max_depth: scalars (possibly traced) bounding the depth range.
+        n_pts_per_ray: number of depth samples per ray (0 for none).
+        stratified_sampling: jiggle samples within strata (requires ``rng``).
+
+    Returns:
+        A :class:`RayBundle` with origins/directions ``(B, *spatial, 3)``,
+        lengths ``(B, *spatial, n_pts_per_ray)``, xys ``(B, *spatial, 2)``.
+        Directions are NOT normalized (their norm carries the depth->distance
+        scale used by the raymarcher).
+    """
+    batch_size = xy_grid.shape[0]
+    spatial_size = xy_grid.shape[1:-1]
+    dtype = xy_grid.dtype
+
+    if n_pts_per_ray > 0:
+        min_d = jnp.mean(jnp.asarray(min_depth, dtype=dtype))
+        max_d = jnp.mean(jnp.asarray(max_depth, dtype=dtype))
+        depths = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype) * (max_d - min_d) + min_d
+        rays_zs = jnp.broadcast_to(depths, (batch_size, *spatial_size, n_pts_per_ray))
+        if stratified_sampling:
+            if rng is None:
+                raise ValueError("stratified_sampling requires an rng key")
+            rays_zs = jiggle_within_stratas(rng, rays_zs)
+    else:
+        rays_zs = jnp.zeros((batch_size, *spatial_size, 0), dtype=dtype)
+
+    poses = poses[:, :3, :4]
+    expand = (batch_size,) + (1,) * len(spatial_size)
+    origins = jnp.broadcast_to(poses[:, :3, 3].reshape(*expand, 3), (batch_size, *spatial_size, 3))
+
+    focal = jnp.reshape(focal_lengths, expand)
+    dirs_cam = jnp.stack(
+        [
+            (xy_grid[..., 0] - image_width * 0.5) / focal,
+            (xy_grid[..., 1] - image_height * 0.5) / focal,
+            jnp.ones((batch_size, *spatial_size), dtype=dtype),
+        ],
+        axis=-1,
+    )
+    rot = poses[:, :3, :3].reshape(*expand, 3, 3)
+    directions = jnp.sum(rot * dirs_cam[..., None, :], axis=-1)
+
+    return RayBundle(origins=origins, directions=directions, lengths=rays_zs, xys=xy_grid)
+
+
+def ray_bundle_to_ray_points(
+    rays_origins: jax.Array,
+    rays_directions: jax.Array,
+    rays_lengths: jax.Array,
+) -> jax.Array:
+    """``points[..., p, :] = origin + length[..., p] * direction`` — ``(..., P, 3)``."""
+    return rays_origins[..., None, :] + rays_lengths[..., :, None] * rays_directions[..., None, :]
+
+
+def get_min_max_depth_bounds(
+    poses: jax.Array,
+    scene_center: jax.Array,
+    scene_extent: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Near/far planes from camera distance to the scene center ± extent."""
+    cam_center = poses[:, :, -1]
+    projected_center = jnp.einsum("bij,j->bi", poses[:, :3, :-1], scene_center)
+    center_dist = jnp.sqrt(jnp.clip(jnp.sum((cam_center - projected_center) ** 2, axis=-1), min=0.001))
+    center_dist = jnp.clip(center_dist, min=scene_extent + 1e-3)
+    return jnp.mean(center_dist - scene_extent), jnp.mean(center_dist + scene_extent)

@@ -1,0 +1,245 @@
+"""Camera -> RayBundle sampling stage.
+
+Behavioural reference: ``RaySampler``/``_RaySampler`` at
+/root/reference/yanerf/pipelines/ray_samplers/ray_sampler.py:10-246.
+
+TPU-first deviations (all jit-driven, documented here once):
+  * pixel selection uses Gumbel-top-k (ops/sampling.py) instead of
+    ``torch.multinomial`` — identical distribution for sampling without
+    replacement;
+  * the number of rays must be static: when a ``mask`` is given without
+    ``n_rays_per_image``/constructor default, the reference derives the count
+    from ``mask.sum()`` (data-dependent shape); here that raises instead;
+  * randomness comes from explicit ``jax.random`` keys.
+
+As in the reference, the principal point is always computed from the
+constructor ``image_width/height`` even when a per-call override changes the
+sampled grid size (ray_sampler.py:236-239).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from yanerf_tpu.ops.rays import get_min_max_depth_bounds, get_xy_grid, xy_to_ray_bundle
+from yanerf_tpu.ops.sampling import weighted_sample_without_replacement
+from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RenderSamplingMode
+
+from .builder import RAY_SAMPLERS
+
+
+class _RaySampler:
+    """One sampling configuration (the train/eval halves of ``RaySampler``)."""
+
+    def __init__(
+        self,
+        *,
+        image_width: int,
+        image_height: int,
+        n_pts_per_ray: int,
+        min_depth: float,
+        max_depth: float,
+        n_rays_per_image: Optional[int] = None,
+        stratified_sampling: bool = False,
+    ) -> None:
+        self.image_width = image_width
+        self.image_height = image_height
+        self.n_pts_per_ray = n_pts_per_ray
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.n_rays_per_image = n_rays_per_image
+        self.stratified_sampling = stratified_sampling
+
+    def __call__(
+        self,
+        rng: Optional[jax.Array],
+        poses: jax.Array,
+        focal_lengths: jax.Array,
+        *,
+        image_height: Optional[int] = None,
+        image_width: Optional[int] = None,
+        mask: Optional[jax.Array] = None,
+        sampling_prob_mask: Optional[jax.Array] = None,
+        min_depth=None,
+        max_depth=None,
+        n_rays_per_image: Union[None, int, List[int]] = None,
+        n_pts_per_ray: Optional[int] = None,
+        stratified_sampling: Optional[bool] = None,
+    ) -> RayBundle:
+        batch_size = poses.shape[0]
+        poses = poses[:, :3, :4]
+
+        if image_height is None or image_width is None:
+            image_height, image_width = self.image_height, self.image_width
+        xy_grid = jnp.broadcast_to(
+            get_xy_grid(image_height, image_width), (batch_size, image_height, image_width, 2)
+        )
+
+        num_rays = n_rays_per_image if n_rays_per_image is not None else self.n_rays_per_image
+        if mask is not None and num_rays is None:
+            raise ValueError(
+                "A sampling mask requires a static ray count: set "
+                "`n_rays_per_image` (per call or in the config); deriving it "
+                "from mask.sum() would create data-dependent shapes under jit."
+            )
+
+        if num_rays is not None:
+            if rng is None:
+                raise ValueError("Monte-Carlo ray sampling requires an rng key")
+            if mask is not None:
+                assert mask.shape == xy_grid.shape[:3], f"{mask.shape} vs {xy_grid.shape[:3]}"
+                weights = mask.reshape(batch_size, -1)
+            else:
+                weights = jnp.ones((batch_size, image_height * image_width), dtype=xy_grid.dtype)
+
+            if sampling_prob_mask is not None:
+                if sampling_prob_mask.shape == xy_grid.shape[:3]:
+                    weights = weights * sampling_prob_mask.reshape(batch_size, -1)
+                elif sampling_prob_mask.ndim == 4:
+                    # Multi-layer sampling: one ray budget per probability layer.
+                    if isinstance(num_rays, int):
+                        num_rays = [num_rays]
+                    if sampling_prob_mask[:, 0].shape != xy_grid.shape[:3]:
+                        raise ValueError(
+                            f"Invalid sampling_prob_mask shape {sampling_prob_mask.shape}; "
+                            f"must align with {xy_grid.shape}"
+                        )
+                    if sampling_prob_mask.shape[1] != len(num_rays):
+                        raise ValueError(
+                            f"sampling_prob_mask has {sampling_prob_mask.shape[1]} layers "
+                            f"but len(n_rays_per_image) == {len(num_rays)}"
+                        )
+                    num_layers = len(num_rays)
+                    weights = weights[:, None, :] * sampling_prob_mask.reshape(batch_size, num_layers, -1)
+                else:
+                    raise ValueError(
+                        f"Invalid sampling_prob_mask of shape {sampling_prob_mask.shape}; "
+                        "want (B, H, W) or (B, L, H, W)"
+                    )
+
+            if weights.ndim == 2:
+                rays_idx = weighted_sample_without_replacement(rng, weights, int(num_rays))
+            else:
+                layer_keys = jax.random.split(rng, weights.shape[1])
+                rays_idx = jnp.concatenate(
+                    [
+                        weighted_sample_without_replacement(layer_keys[layer], weights[:, layer], int(n))
+                        for layer, n in enumerate(num_rays)
+                    ],
+                    axis=-1,
+                )
+            xy_flat = xy_grid.reshape(batch_size, -1, 2)
+            xy_grid = jnp.take_along_axis(xy_flat, rays_idx[..., None], axis=1)[:, :, None]
+
+        min_depth = min_depth if min_depth is not None else self.min_depth
+        max_depth = max_depth if max_depth is not None else self.max_depth
+        n_pts = n_pts_per_ray if n_pts_per_ray is not None else self.n_pts_per_ray
+        stratified = stratified_sampling if stratified_sampling is not None else self.stratified_sampling
+
+        return xy_to_ray_bundle(
+            poses,
+            self.image_width,
+            self.image_height,
+            focal_lengths,
+            xy_grid,
+            min_depth,
+            max_depth,
+            n_pts,
+            stratified,
+            rng=rng,
+        )
+
+
+@RAY_SAMPLERS.register_module()
+class RaySampler:
+    def __init__(
+        self,
+        image_width: int = 400,
+        image_height: int = 400,
+        scene_center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+        scene_extent: float = 0.0,
+        sampling_mode_training: str = "mask_sample",
+        sampling_mode_evaluation: str = "full_grid",
+        n_pts_per_ray_training: int = 64,
+        n_pts_per_ray_evaluation: int = 64,
+        n_rays_per_image_sampled_from_mask: int = 1024,
+        min_depth: float = 0.1,
+        max_depth: float = 8.0,
+        stratified_point_sampling_training: bool = True,
+        stratified_point_sampling_evaluation: bool = False,
+    ) -> None:
+        self.image_width = image_width
+        self.image_height = image_height
+        self.scene_center = tuple(scene_center)
+        self.scene_extent = scene_extent
+        self._sampling_mode = {
+            EvaluationMode.TRAINING: RenderSamplingMode(sampling_mode_training),
+            EvaluationMode.EVALUATION: RenderSamplingMode(sampling_mode_evaluation),
+        }
+        self._raysamplers = {
+            mode: _RaySampler(
+                image_width=image_width,
+                image_height=image_height,
+                n_pts_per_ray=n_pts,
+                min_depth=min_depth,
+                max_depth=max_depth,
+                n_rays_per_image=(
+                    n_rays_per_image_sampled_from_mask
+                    if self._sampling_mode[mode] == RenderSamplingMode.MASK_SAMPLE
+                    else None
+                ),
+                stratified_sampling=stratified,
+            )
+            for mode, n_pts, stratified in (
+                (EvaluationMode.TRAINING, n_pts_per_ray_training, stratified_point_sampling_training),
+                (EvaluationMode.EVALUATION, n_pts_per_ray_evaluation, stratified_point_sampling_evaluation),
+            )
+        }
+
+    def sampling_mode(self, evaluation_mode: EvaluationMode) -> RenderSamplingMode:
+        return self._sampling_mode[evaluation_mode]
+
+    def __call__(
+        self,
+        rng: Optional[jax.Array],
+        poses: jax.Array,
+        focal_lengths: jax.Array,
+        evaluation_mode: EvaluationMode,
+        *,
+        mask: Optional[jax.Array] = None,
+        sampling_prob_mask: Optional[jax.Array] = None,
+        image_height: Optional[int] = None,
+        image_width: Optional[int] = None,
+        min_depth=None,
+        max_depth=None,
+        n_rays_per_image: Union[None, int, List[int]] = None,
+    ) -> RayBundle:
+        sample_mask = None
+        if self._sampling_mode[evaluation_mode] == RenderSamplingMode.MASK_SAMPLE and mask is not None:
+            target_h = image_height if image_height is not None else self.image_height
+            target_w = image_width if image_width is not None else self.image_width
+            # mask is (B, 1, H0, W0); nearest-resize to the sampling grid.
+            sample_mask = jax.image.resize(
+                mask, (mask.shape[0], mask.shape[1], target_h, target_w), method="nearest"
+            )[:, 0]
+
+        if min_depth is None and max_depth is None and self.scene_extent > 0.0:
+            min_depth, max_depth = get_min_max_depth_bounds(
+                poses, jnp.asarray(self.scene_center, dtype=poses.dtype), self.scene_extent
+            )
+
+        return self._raysamplers[evaluation_mode](
+            rng,
+            poses,
+            focal_lengths,
+            mask=sample_mask,
+            sampling_prob_mask=sampling_prob_mask,
+            min_depth=min_depth,
+            max_depth=max_depth,
+            n_rays_per_image=n_rays_per_image,
+            image_height=image_height,
+            image_width=image_width,
+        )

@@ -1,0 +1,115 @@
+"""Pluggable storage backends (reference: yanerf/utils/fileio/file_client.py).
+
+The reference ships disk, HTTP, Ceph/Petrel, Memcached and LMDB backends; here
+we implement disk and HTTP natively and keep the same plugin seam
+(``FileClient.register_backend``) so the exotic backends can be added without
+touching call sites.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from abc import ABCMeta, abstractmethod
+from pathlib import Path
+from typing import Any, Dict, Optional, Type, Union
+from urllib.request import urlopen
+
+
+class BaseStorageBackend(metaclass=ABCMeta):
+    @abstractmethod
+    def get(self, filepath: str) -> bytes:
+        ...
+
+    @abstractmethod
+    def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
+        ...
+
+
+class HardDiskBackend(BaseStorageBackend):
+    def get(self, filepath: Union[str, Path]) -> bytes:
+        with open(filepath, "rb") as f:
+            return f.read()
+
+    def get_text(self, filepath: Union[str, Path], encoding: str = "utf-8") -> str:
+        with open(filepath, encoding=encoding) as f:
+            return f.read()
+
+    def put(self, obj: bytes, filepath: Union[str, Path]) -> None:
+        os.makedirs(osp.dirname(osp.abspath(str(filepath))), exist_ok=True)
+        with open(filepath, "wb") as f:
+            f.write(obj)
+
+    def put_text(self, obj: str, filepath: Union[str, Path], encoding: str = "utf-8") -> None:
+        os.makedirs(osp.dirname(osp.abspath(str(filepath))), exist_ok=True)
+        with open(filepath, "w", encoding=encoding) as f:
+            f.write(obj)
+
+    def exists(self, filepath: Union[str, Path]) -> bool:
+        return osp.exists(filepath)
+
+    def isfile(self, filepath: Union[str, Path]) -> bool:
+        return osp.isfile(filepath)
+
+    def isdir(self, filepath: Union[str, Path]) -> bool:
+        return osp.isdir(filepath)
+
+
+class HTTPBackend(BaseStorageBackend):
+    def get(self, filepath: str) -> bytes:
+        with urlopen(filepath) as resp:
+            return resp.read()
+
+    def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
+        return self.get(filepath).decode(encoding)
+
+
+class FileClient:
+    """Dispatches file access to a storage backend chosen by name or prefix."""
+
+    _backends: Dict[str, Type[BaseStorageBackend]] = {
+        "disk": HardDiskBackend,
+        "http": HTTPBackend,
+    }
+    _prefix_to_backend: Dict[str, str] = {
+        "http": "http",
+        "https": "http",
+    }
+
+    def __init__(self, backend: str = "disk", **kwargs: Any):
+        if backend not in self._backends:
+            raise ValueError(f"Backend {backend} is not supported; registered: {list(self._backends)}")
+        self.backend_name = backend
+        self.client = self._backends[backend](**kwargs)
+
+    @classmethod
+    def infer_client(cls, uri: Optional[Union[str, Path]] = None) -> "FileClient":
+        if uri is None:
+            return cls("disk")
+        prefix = cls.parse_uri_prefix(str(uri))
+        if prefix is None:
+            return cls("disk")
+        return cls(cls._prefix_to_backend.get(prefix, "disk"))
+
+    @staticmethod
+    def parse_uri_prefix(uri: str) -> Optional[str]:
+        if "://" not in uri:
+            return None
+        return uri.split("://", 1)[0]
+
+    @classmethod
+    def register_backend(cls, name: str, backend: Type[BaseStorageBackend], prefixes=None, force: bool = False):
+        if not force and name in cls._backends:
+            raise KeyError(f"Backend {name} is already registered")
+        cls._backends[name] = backend
+        if prefixes is not None:
+            if isinstance(prefixes, str):
+                prefixes = [prefixes]
+            for prefix in prefixes:
+                cls._prefix_to_backend[prefix] = name
+
+    def get(self, filepath) -> bytes:
+        return self.client.get(filepath)
+
+    def get_text(self, filepath, encoding: str = "utf-8") -> str:
+        return self.client.get_text(filepath, encoding)
