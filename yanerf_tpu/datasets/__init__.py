@@ -1,0 +1,20 @@
+from .blender import BlenderDataset, BlenderDatasetWrapper
+from .builder import DATASETS
+from .llff import LLFFDataset, LLFFDatasetWrapper
+from .loader import DataLoader, ShardedEpochSampler, Subset, create_loader, create_sampler, stack_batch
+from .utils import load_image
+
+__all__ = [
+    "DATASETS",
+    "BlenderDataset",
+    "BlenderDatasetWrapper",
+    "LLFFDataset",
+    "LLFFDatasetWrapper",
+    "DataLoader",
+    "ShardedEpochSampler",
+    "Subset",
+    "create_loader",
+    "create_sampler",
+    "stack_batch",
+    "load_image",
+]

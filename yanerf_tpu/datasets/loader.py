@@ -1,0 +1,225 @@
+"""Host-side data pipeline: process-sharded epoch sampling + threaded prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` +
+``DistributedSampler`` stack (reference runners/utils.py:112-145) with a
+TPU-friendly design:
+  * ``ShardedEpochSampler`` reproduces DistributedSampler semantics exactly —
+    per-epoch seeded shuffle, wraparound padding so every process sees
+    ``ceil(N / world) `` samples, ``set_epoch`` reshuffling — but keyed on
+    ``jax.process_index/count`` instead of torch.distributed ranks;
+  * ``DataLoader`` stacks items into contiguous numpy batches on worker
+    threads and prefetches ahead of the training step, so host IO overlaps
+    device compute (the torch worker-process + pinned-memory pipeline has no
+    TPU analog — transfers go through ``jax.device_put`` on dispatch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def get_process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def get_process_count() -> int:
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
+class ShardedEpochSampler:
+    """DistributedSampler-equivalent index sharding across processes."""
+
+    def __init__(
+        self,
+        dataset_len: int,
+        shuffle: bool,
+        world_size: Optional[int] = None,
+        rank: Optional[int] = None,
+        seed: int = 0,
+    ) -> None:
+        self.dataset_len = dataset_len
+        self.shuffle = shuffle
+        self.world_size = world_size if world_size is not None else get_process_count()
+        self.rank = rank if rank is not None else get_process_index()
+        self.seed = seed
+        self.epoch = 0
+        self.num_samples = -(-dataset_len // self.world_size)
+        self.total_size = self.num_samples * self.world_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def indices(self) -> np.ndarray:
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(self.dataset_len)
+        else:
+            order = np.arange(self.dataset_len)
+        # wraparound padding so the shard sizes are equal
+        if self.total_size > len(order):
+            order = np.concatenate([order, order[: self.total_size - len(order)]])
+        return order[self.rank : self.total_size : self.world_size]
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+def stack_batch(items: Sequence) -> tuple:
+    """Stack a list of per-item tuples of numpy arrays into batch arrays.
+
+    Non-array fields follow the reference's ``collate_only_array`` rules
+    (runners/utils.py:302-346): floats are averaged, ints/strings keep the
+    first / the list, None passes through.
+    """
+    first = items[0]
+    out: List = []
+    for field_idx in range(len(first)):
+        values = [item[field_idx] for item in items]
+        v0 = values[0]
+        if isinstance(v0, np.ndarray):
+            out.append(np.stack(values, axis=0))
+        elif np.isscalar(v0) and isinstance(v0, (float, np.floating)):
+            out.append(float(np.mean(values)))
+        elif isinstance(v0, (int, np.integer)):
+            out.append(values[0])
+        elif isinstance(v0, str) or v0 is None:
+            out.append(values if isinstance(v0, str) else None)
+        else:
+            out.append(np.stack([np.asarray(v) for v in values], axis=0))
+    return tuple(out)
+
+
+class DataLoader:
+    """Iterates batches as stacked numpy tuples with background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        sampler: Optional[ShardedEpochSampler],
+        batch_size: int,
+        is_train: bool,
+        num_workers: int = 2,
+        prefetch_depth: int = 2,
+        collate_fn: Optional[Callable] = None,
+    ) -> None:
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = bool(is_train)
+        self.is_train = is_train
+        self.num_workers = max(0, num_workers)
+        self.prefetch_depth = max(1, prefetch_depth)
+        self.collate_fn = collate_fn or stack_batch
+
+    @property
+    def data_wrapper(self):
+        return self.dataset.data_wrapper
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        if self.sampler is not None:
+            indices = self.sampler.indices()
+        else:
+            indices = np.arange(len(self.dataset))
+            if self.is_train:
+                indices = np.random.permutation(indices)
+        batches = []
+        for start in range(0, len(indices), self.batch_size):
+            chunk = indices[start : start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            batches.append(chunk)
+        return batches
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _load_batch(self, idx_chunk: np.ndarray):
+        return self.collate_fn([self.dataset[int(i)] for i in idx_chunk])
+
+    def __iter__(self) -> Iterator[tuple]:
+        batches = self._batch_indices()
+        if self.num_workers == 0:
+            for chunk in batches:
+                yield self._load_batch(chunk)
+            return
+
+        out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def _producer():
+            try:
+                for chunk in batches:
+                    if stop.is_set():
+                        return
+                    out_queue.put(("ok", self._load_batch(chunk)))
+                out_queue.put(("done", None))
+            except Exception as exc:  # propagate loader errors to the consumer
+                out_queue.put(("err", exc))
+
+        worker = threading.Thread(target=_producer, daemon=True)
+        worker.start()
+        try:
+            while True:
+                kind, payload = out_queue.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+
+
+def create_sampler(dataset, shuffle: bool, world_size: Optional[int] = None, rank: Optional[int] = None, seed: int = 0):
+    return ShardedEpochSampler(len(dataset), shuffle=shuffle, world_size=world_size, rank=rank, seed=seed)
+
+
+def create_loader(
+    dataset,
+    sampler: Optional[ShardedEpochSampler],
+    batch_size: int,
+    num_workers: int,
+    is_train: bool,
+    collate_fn: Optional[Callable] = None,
+    **_compat_kwargs,
+) -> DataLoader:
+    return DataLoader(
+        dataset,
+        sampler,
+        batch_size=batch_size,
+        is_train=is_train,
+        num_workers=num_workers,
+        collate_fn=collate_fn,
+    )
+
+
+class Subset:
+    """Dataset view over a subset of indices (debug mode)."""
+
+    def __init__(self, dataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.data_wrapper = dataset.data_wrapper
+
+    def __getitem__(self, idx: int):
+        return self.dataset[self.indices[idx]]
+
+    def __len__(self) -> int:
+        return len(self.indices)

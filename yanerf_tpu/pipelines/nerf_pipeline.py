@@ -28,6 +28,7 @@ from yanerf_tpu.models import MODELS
 from yanerf_tpu.ops.metrics import view_metrics
 from yanerf_tpu.ops.sampling import sample_grid, scatter_rays_to_image
 from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RendererOutput, RenderSamplingMode
+from yanerf_tpu.parallel.sharding import constrain_ray_bundle, constrain_rays
 from yanerf_tpu.utils.logging import get_logger
 
 from .builder import FEATURE_EXTRACTORS, PIPELINES, RAY_SAMPLERS, RENDERERS
@@ -111,6 +112,7 @@ class NeRFPipeline:
         image_rgb: Optional[jax.Array] = None,
         depth_map: Optional[jax.Array] = None,
         evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
+        output_rasterized_mc: Optional[bool] = None,
         **kwargs,
     ) -> Dict[str, Any]:
         """Render and compute per-sample losses for one batch.
@@ -145,6 +147,10 @@ class NeRFPipeline:
             max_depth=max_depth,
         )
 
+        # Shard the freshly created ray axis across the mesh (no-op without an
+        # active mesh context) — GSPMD then partitions the whole render.
+        ray_bundle = constrain_ray_bundle(ray_bundle, ray_dim=1)
+
         xys = ray_bundle.xys
         bg_color = sample_grid(bg_image_rgb, xys) if bg_image_rgb is not None else None
 
@@ -178,9 +184,10 @@ class NeRFPipeline:
 
         preds = self._get_view_metrics(rendered, xys, image_rgb, depth_map)
 
+        rasterize_mc = self.output_rasterized_mc if output_rasterized_mc is None else output_rasterized_mc
         rendered_blob: Dict[str, jax.Array] = {}
         if sampling_mode == RenderSamplingMode.MASK_SAMPLE:
-            if self.output_rasterized_mc:
+            if rasterize_mc:
                 rendered_blob["rendered_images"] = rendered.features
                 rendered_blob["rendered_depths"] = rendered.depths
                 rendered_blob["rendered_alpha_masks"] = rendered.alpha_masks
@@ -283,9 +290,9 @@ class NeRFPipeline:
             chunk_rng = jax.random.fold_in(rng, chunk["idx"]) if rng is not None else None
             return self.renderer(
                 chunk_rng,
-                chunk["origins"],
-                chunk["directions"],
-                chunk["lengths"],
+                constrain_rays(chunk["origins"], ray_dim=1),
+                constrain_rays(chunk["directions"], ray_dim=1),
+                constrain_rays(chunk["lengths"], ray_dim=1),
                 chunk["xys"],
                 chunk["bg_color"],
                 implicit_functions=implicit_functions,

@@ -1,0 +1,286 @@
+"""Train / eval loops driving jitted pipeline steps.
+
+Behavioural reference: reference runners/apis.py:30-236. Differences are the
+TPU-native mechanics, not semantics:
+  * instead of ``loss.backward(); optimizer.step()`` with DDP's implicit
+    all-reduce, the whole step — forward, per-sample losses, mean objective,
+    grads, Adam update — is ONE jitted XLA program (``make_train_step``);
+    under a mesh context, GSPMD shards it over data/ray axes and inserts the
+    ICI collectives;
+  * randomness is a per-run base key folded with the global step;
+  * the per-iter data/inference timing split survives in the periodic log
+    line (device sync only on log iterations, so timing doesn't serialize
+    the pipeline);
+  * eval keeps the distributed contract: per-sample losses all-gathered
+    across processes, concatenated, truncated to dataset length, then meaned.
+"""
+
+from __future__ import annotations
+
+import logging
+import os.path as osp
+from collections import defaultdict
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from yanerf_tpu.ops.structures import EvaluationMode
+from yanerf_tpu.parallel.distributed import concat_all_gather, get_rank, get_world_size, is_dist_avail_and_initialized
+from yanerf_tpu.parallel.mesh import DATA_AXIS
+from yanerf_tpu.parallel.sharding import mesh_context
+from yanerf_tpu.utils.logging import get_logger
+from yanerf_tpu.utils.timer import Timer
+
+from .hooks import EvalDataHook, EvalOutputsHook, TrainDataHook, TrainOutputsHook
+from .optim import TrainState
+from .stats import create_stats
+from .vis import RunType, vis_batch_img
+
+LOG_HEADER = "{}\tEpoch:\t[{}]"
+
+
+def _get_logger(config):
+    log_level = logging.DEBUG if config.get("debug", None) else logging.INFO
+    log_file = osp.join(config["output_dir"], "run.log") if config.get("output_dir") else None
+    return get_logger("yanerf_tpu.runner", log_file=log_file, log_level=log_level, file_mode="a")
+
+
+def prepare_batch(data: Tuple, data_wrapper: Callable, mesh=None) -> Dict[str, Any]:
+    """Wrap a loader tuple into pipeline kwargs and place arrays on device.
+
+    With a mesh, arrays are committed with their batch dim over DATA_AXIS so
+    jit's input shardings match the step's expectations.
+    """
+    batch = data_wrapper(*data)._asdict()
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None))
+    out: Dict[str, Any] = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray):
+            out[key] = jax.device_put(value, sharding) if sharding is not None else jax.device_put(value)
+        else:
+            out[key] = value
+    return out
+
+
+def make_train_step(
+    pipeline,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    rasterize_mc: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, batch, rng) -> (state, preds)."""
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            preds = pipeline.forward(
+                params,
+                step_rng,
+                evaluation_mode=EvaluationMode.TRAINING,
+                output_rasterized_mc=rasterize_mc,
+                **batch,
+            )
+            if "objective" not in preds:
+                raise KeyError("In train mode, but no loss (`objective`) is found.")
+            return jnp.mean(preds["objective"]), preds
+
+        (_, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt_state, step=state.step + 1)
+        return new_state, preds
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def wrapped(state, batch, rng):
+        with mesh_context(mesh):
+            return jitted(state, batch, rng)
+
+    return wrapped
+
+
+def make_eval_step(pipeline, mesh=None):
+    """Build the jitted eval step: (params, batch, rng) -> preds (FULL_GRID)."""
+
+    def step_fn(params, batch: Dict[str, Any], rng: jax.Array):
+        return pipeline.forward(params, rng, evaluation_mode=EvaluationMode.EVALUATION, **batch)
+
+    jitted = jax.jit(step_fn)
+
+    def wrapped(params, batch, rng):
+        with mesh_context(mesh):
+            return jitted(params, batch, rng)
+
+    return wrapped
+
+
+def inference(
+    pipeline,
+    params,
+    data: Dict[str, Any],
+    rng: jax.Array,
+    evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
+    compute_metrics: bool = True,
+) -> Dict[str, Any]:
+    """One un-jitted pipeline call merging inputs into preds (reference apis.py:221-236)."""
+    data = dict(data)
+    if compute_metrics is False and data.get("image_rgb", None) is not None:
+        data.pop("image_rgb")
+    preds = pipeline.forward(params, rng, evaluation_mode=evaluation_mode, **data)
+    preds.update(data)
+    return preds
+
+
+def train_one_epoch(
+    run_type: RunType,
+    config,
+    epoch: int,
+    state: TrainState,
+    dataloader,
+    train_step: Callable,
+    rng: jax.Array,
+    train_step_vis: Optional[Callable] = None,
+    mesh=None,
+    lr_schedule: Optional[Callable] = None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    logger = _get_logger(config)
+    passed_iter = epoch * len(dataloader)
+    header = LOG_HEADER.format(run_type.value, epoch)
+    print_per_iter = config.get("print_per_iter", 100)
+    hooks = config.get("hooks", []) or []
+
+    if dataloader.sampler is not None:
+        dataloader.sampler.set_epoch(epoch)
+
+    timer = Timer()
+    preds: Dict[str, Any] = {}
+    for i, data in enumerate(dataloader):
+        times = {}
+        batch = prepare_batch(data, dataloader.data_wrapper, mesh)
+        for hook in hooks:
+            if isinstance(hook, TrainDataHook):
+                batch = hook(data=batch, iter=passed_iter, epoch=epoch, config=config)
+        times["data"] = timer.since_last_check()
+
+        want_vis = (
+            train_step_vis is not None
+            and config.get("val_per_iter")
+            and passed_iter % config["val_per_iter"] == 0
+        )
+        step_fn = train_step_vis if want_vis else train_step
+        state, preds = step_fn(state, batch, rng)
+        for hook in hooks:
+            if isinstance(hook, TrainOutputsHook):
+                preds = hook(outputs=preds, config=config, iter=passed_iter, epoch=epoch)
+
+        if passed_iter % print_per_iter == 0:
+            jax.block_until_ready(preds.get("objective"))
+            times["inference"] = timer.since_last_check()
+            if lr_schedule is not None:
+                logger.info(f"{header}\tlr: {float(lr_schedule(passed_iter)):.3e}.")
+            stats = create_stats(preds)
+            batch_size = dataloader.batch_size
+            log_string = "\t".join(
+                [f"iter: {passed_iter}\tsampler: [{i * batch_size}/{len(dataloader) * batch_size}]"]
+                + [f"{k}: {v:.3f}" for k, v in times.items()]
+                + [f"{k}: {v:.3f}" for k, v in stats.items()]
+            )
+            logger.info(f"{header}: {log_string}")
+
+        if want_vis and config.get("output_dir"):
+            logger.info("save training image to check sanity.")
+            vis_batch_img(preds, run_type, config["output_dir"], 0, dataloader.batch_size, f"{epoch:05d}/")
+
+        passed_iter += 1
+        timer.since_last_check()
+
+    return state, create_stats(preds)
+
+
+def eval_one_epoch(
+    run_type: RunType,
+    config,
+    epoch: int,
+    params,
+    dataloader,
+    eval_step: Callable,
+    rng: jax.Array,
+    save_image: bool = True,
+) -> Dict[str, float]:
+    if dataloader.drop_last:
+        raise ValueError("Incomplete eval due to `drop_last`.")
+
+    logger = _get_logger(config)
+    print_per_iter = config.get("print_per_iter", 50)
+    header = LOG_HEADER.format(run_type.value, epoch)
+    rank, world_size = get_rank(), get_world_size()
+    hooks = config.get("hooks", []) or []
+
+    timer = Timer()
+    metric_stats: Dict[str, list] = defaultdict(list)
+    preds: Dict[str, Any] = {}
+    for i, data in enumerate(dataloader):
+        times = {}
+        batch = prepare_batch(data, dataloader.data_wrapper)
+        for hook in hooks:
+            if isinstance(hook, EvalDataHook):
+                batch = hook(data=batch, config=config, iter=i, epoch=epoch)
+        times["data"] = timer.since_last_check()
+
+        preds = eval_step(params, batch, jax.random.fold_in(rng, i))
+        preds.update(batch)
+        for hook in hooks:
+            if isinstance(hook, EvalOutputsHook):
+                preds = hook(outputs=preds, config=config, iter=i, epoch=epoch)
+        jax.block_until_ready(preds.get("objective", preds.get("rendered_images")))
+        times["inference"] = timer.since_last_check()
+
+        for key, value in preds.items():
+            if key.startswith("loss_") or key.startswith("objective"):
+                value = np.asarray(value)
+                metric_stats[key].append(concat_all_gather(value) if is_dist_avail_and_initialized() else value)
+
+        batch_size = dataloader.batch_size
+        if i % print_per_iter == 0:
+            stats = create_stats(preds)
+            log_string = "\t".join(
+                [f"sampler: [{i * batch_size}/{len(dataloader.dataset)}]"]
+                + [f"{k}: {v:.3f}" for k, v in times.items()]
+                + [f"{k}: {v:.3f}" for k, v in stats.items()]
+            )
+            logger.info(f"{header}: {log_string}")
+
+        if save_image and config.get("output_dir"):
+            start_idx = (i * world_size + rank) * batch_size
+            end_idx = min(len(dataloader.dataset), start_idx + batch_size)
+            vis_batch_img(
+                preds,
+                run_type,
+                config["output_dir"],
+                start_idx,
+                end_idx,
+                "" if run_type == RunType.TEST else f"{epoch:05d}/",
+            )
+        timer.since_last_check()
+
+    final_preds: Dict[str, Any] = dict(preds)
+    for key, chunks in metric_stats.items():
+        # concat across iterations, truncate the distributed wraparound
+        # padding to the true dataset length, THEN mean (reference apis.py:202-204).
+        final_preds[key] = float(np.mean(np.concatenate(chunks, axis=0)[: len(dataloader.dataset)]))
+
+    stats = create_stats(final_preds)
+    log_string = "\t".join(
+        [f"[{len(dataloader.dataset)}/{len(dataloader.dataset)}]"] + [f"{k}: {v:.3f}" for k, v in stats.items()]
+    )
+    logger.info(f"{header}: {log_string}")
+    return stats

@@ -1,0 +1,142 @@
+"""Checkpoint save/restore with the reference's logical contract.
+
+Behavioural reference: ``save_model`` / resume at reference
+scripts/run.py:170-178,416-422. The contract preserved:
+  * payload = model params + optimizer state + epoch;
+  * files live under ``{output_dir}/ckpts/ckpts_{epoch:04d}`` — the best
+    model is saved as epoch -1 -> ``ckpts_-001``;
+  * resuming restores params + opt state and continues at ``epoch + 1``.
+
+Storage is orbax (async-capable, multi-host-safe) instead of ``torch.save``;
+``import_torch_checkpoint`` converts the reference's released ``.pth``
+weights into this framework's param pytree for parity evaluation.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from yanerf_tpu.runners.optim import TrainState
+
+
+def ckpt_name(epoch: int) -> str:
+    return f"ckpts_{epoch:04d}"
+
+
+def save_checkpoint(output_dir: Union[str, Path], state: TrainState, epoch: int) -> Path:
+    """Save params/opt_state/epoch under ``{output_dir}/ckpts/ckpts_{epoch:04d}``."""
+    path = Path(output_dir).resolve() / "ckpts" / ckpt_name(epoch)
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(jax.device_get(state.step)),
+        "epoch": int(epoch),
+    }
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: Union[str, Path], state: Optional[TrainState] = None) -> Dict[str, Any]:
+    """Restore a checkpoint; with ``state`` given, restores into its structure.
+
+    Returns ``{"state": TrainState, "epoch": int}``.
+    """
+    path = Path(path).resolve()
+    checkpointer = ocp.PyTreeCheckpointer()
+    if state is not None:
+        import jax.numpy as jnp
+
+        template = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = checkpointer.restore(path, item=template)
+        new_state = TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            opt_state=jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
+            step=jnp.asarray(restored["step"], dtype=jnp.int32),
+        )
+    else:
+        restored = checkpointer.restore(path)
+        new_state = None
+    return {"state": new_state, "restored": restored, "epoch": int(restored["epoch"])}
+
+
+# -- torch .pth importer -------------------------------------------------------
+
+
+def _assign(tree: Any, dotted: str, value: np.ndarray) -> bool:
+    """Assign ``value`` at a dotted path into a nested dict/list pytree."""
+    parts = dotted.split(".")
+    node = tree
+    for part in parts[:-1]:
+        if isinstance(node, (list, tuple)):
+            node = node[int(part)]
+        elif part in node:
+            node = node[part]
+        else:
+            return False
+    leaf = parts[-1]
+    if isinstance(node, dict) and leaf in node:
+        if node[leaf].shape != value.shape:
+            raise ValueError(f"shape mismatch at {dotted}: {node[leaf].shape} vs {value.shape}")
+        node[leaf] = value
+        return True
+    return False
+
+
+def import_torch_checkpoint(pth_path: Union[str, Path], params: Any) -> Any:
+    """Convert a reference ``.pth`` checkpoint into this framework's params.
+
+    Maps the reference module names (e.g.
+    ``implicit_functions.0._fn.xyz_encoder.mlp.3.0.weight``) onto the param
+    pytree, transposing torch's ``(out, in)`` Linear weights to ``(in, out)``.
+    """
+    import torch
+
+    blob = torch.load(str(pth_path), map_location="cpu")
+    state_dict = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
+
+    params = jax.tree_util.tree_map(lambda x: np.array(x), params)
+
+    n_missing = 0
+    for name, tensor in state_dict.items():
+        value = tensor.detach().cpu().numpy().astype(np.float32)
+        path = name
+        # strip the PartialFunctionWrapper indirection
+        path = path.replace("._fn.", ".")
+        # torch Sequential index inside xyz_encoder layers: mlp.{i}.0.weight
+        path = re.sub(r"\.mlp\.(\d+)\.0\.(weight|bias)", r".mlp.\1.\2", path)
+        # color head: Sequential [Linear/LWR, ReLU, (Linear, ReLU)*, Linear, Sigmoid]
+        match = re.search(r"color_layer\.(\d+)\.(weight|bias)$", path)
+        if match:
+            seq_idx = int(match.group(1))
+            layer_idx = seq_idx // 2  # ReLU/Sigmoid occupy odd slots
+            path = re.sub(r"color_layer\.\d+\.", f"color_layer.{layer_idx}.", path)
+        if path.endswith(".weight"):
+            path = path[: -len(".weight")] + ".w"
+            if value.ndim == 2:
+                value = value.T  # (out, in) -> (in, out)
+        elif path.endswith(".bias"):
+            path = path[: -len(".bias")] + ".b"
+        if not _assign(params, path, value):
+            n_missing += 1
+
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, params), n_missing
+
+
+def find_best_checkpoint(output_dir: Union[str, Path]) -> Optional[Path]:
+    best = Path(output_dir) / "ckpts" / ckpt_name(-1)
+    return best if best.exists() else None

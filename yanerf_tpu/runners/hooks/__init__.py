@@ -1,0 +1,25 @@
+from .hooks import (
+    HOOKS,
+    ADNeRFEvalDataHook,
+    ADNeRFTrainDataHook,
+    EvalDataHook,
+    EvalOutputsHook,
+    SDNeRFEvalDataHook,
+    SDNeRFOutputsHook,
+    SDNeRFTrainDataHook,
+    TrainDataHook,
+    TrainOutputsHook,
+)
+
+__all__ = [
+    "HOOKS",
+    "TrainDataHook",
+    "EvalDataHook",
+    "TrainOutputsHook",
+    "EvalOutputsHook",
+    "ADNeRFTrainDataHook",
+    "ADNeRFEvalDataHook",
+    "SDNeRFTrainDataHook",
+    "SDNeRFEvalDataHook",
+    "SDNeRFOutputsHook",
+]
