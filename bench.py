@@ -1,0 +1,82 @@
+"""Throughput benchmark: flagship lego training step on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures end-to-end train-step throughput (rays/sec/chip) for the published
+lego schedule — 4096 rays/image, 64 coarse + 128 fine points, 8x256 MLP,
+2 passes, Adam — the same work the reference does per iteration. Baseline:
+the reference reproduces lego in ~4 h of 200k iters x 4096 rays on 4x RTX
+3090 (README.md:68) = 56.9k rays/s total = 14.2k rays/s per GPU-chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _example_batch, _flagship_pipeline
+    from yanerf_tpu.runners import create_optimizer, create_train_state, make_train_step, prepare_batch
+    from yanerf_tpu.utils.config import ConfigDict
+
+    N_RAYS = 4096
+    IMAGE_HW = 800
+    BATCH = 1
+
+    pipeline = _flagship_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW, compute_dtype="bfloat16")
+    runner_cfg = ConfigDict(
+        dict(
+            init_lr=5e-4, min_lr=5e-5, weight_decay=0.0, warmup_steps=1000, warmup_lr=1e-5,
+            lr_decay_type="exponential", lr_decay_rate=0.1, lr_decay_iters=250000, num_iters=200000,
+        )
+    )
+    optimizer = create_optimizer(runner_cfg)
+    params = pipeline.init(jax.random.PRNGKey(0))
+    state = create_train_state(params, optimizer)
+
+    from typing import NamedTuple
+
+    class Wrapper(NamedTuple):
+        poses: np.ndarray
+        focal_lengths: np.ndarray
+        image_rgb: np.ndarray
+
+    batch = prepare_batch(_example_batch(BATCH, IMAGE_HW), Wrapper, None)
+    train_step = make_train_step(pipeline, optimizer, mesh=None, donate=True)
+    rng = jax.random.PRNGKey(1)
+
+    # Warmup: compile + a few steps.
+    for _ in range(3):
+        state, preds = train_step(state, batch, rng)
+    jax.block_until_ready(state.params)
+
+    n_steps = 50
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        state, preds = train_step(state, batch, rng)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+
+    n_chips = jax.local_device_count()
+    rays_per_sec_per_chip = n_steps * N_RAYS * BATCH / elapsed / n_chips
+
+    baseline_rays_per_sec_per_gpu = 200_000 * 4096 / (4 * 3600) / 4  # ~14.2k
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec_per_chip, 1),
+                "unit": "rays/s/chip (lego step: 4096 rays, 64+128 pts, bf16)",
+                "vs_baseline": round(rays_per_sec_per_chip / baseline_rays_per_sec_per_gpu, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

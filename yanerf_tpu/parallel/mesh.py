@@ -44,9 +44,10 @@ def create_mesh(
         data_parallel = n // ray_parallel
     elif ray_parallel is None:
         ray_parallel = n // data_parallel
-    if data_parallel * ray_parallel != n:
-        raise ValueError(f"mesh {data_parallel}x{ray_parallel} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data_parallel, ray_parallel)
+    total = data_parallel * ray_parallel
+    if total > n:
+        raise ValueError(f"mesh {data_parallel}x{ray_parallel} needs {total} devices, only {n} available")
+    dev_array = np.asarray(devices[:total]).reshape(data_parallel, ray_parallel)
     return Mesh(dev_array, (DATA_AXIS, RAY_AXIS))
 
 
