@@ -144,6 +144,7 @@ class NeRFMLP:
         directions: jax.Array,
         lengths: jax.Array,
         global_codes: Optional[jax.Array] = None,
+        use_pallas: Optional[bool] = None,
         **kwargs,
     ) -> Dict[str, Any]:
         """Evaluate densities/colors for all ray points.
@@ -153,12 +154,15 @@ class NeRFMLP:
             lengths: ``(B, *spatial, P)``.
             global_codes: optional ``(B, latent_dim)`` (or ``(B, N, D)`` with
                 ``N*D == latent_dim``) conditioning codes.
+            use_pallas: override the constructor flag (the pipeline disables
+                the kernel under autodiff — it has no VJP rule).
 
         Returns:
             ``rays_densities (B, *spatial, P, 1)``,
             ``rays_features (B, *spatial, P, color_dim)``, ``aux``.
         """
         points = ray_bundle_to_ray_points(origins, directions, lengths)
+        use_pallas = self.use_pallas if use_pallas is None else use_pallas
 
         if global_codes is not None:
             global_codes = global_codes.reshape(global_codes.shape[0], -1)
@@ -168,6 +172,14 @@ class NeRFMLP:
                 )
         elif self.latent_dim != 0:
             raise ValueError("latent_dim > 0 requires global_codes")
+
+        use_pallas = use_pallas and self.input_xyz and self.latent_dim == 0
+        if use_pallas:
+            # the fused kernel embeds in-register; skip the XLA embedding
+            from yanerf_tpu.ops.pallas import nerf_mlp_forward_pallas
+
+            raw_densities, rays_colors = nerf_mlp_forward_pallas(self, params, points, directions)
+            return dict(rays_densities=raw_densities, rays_features=rays_colors, aux={})
 
         if self.input_xyz:
             embeds = harmonic_embedding(
@@ -184,14 +196,9 @@ class NeRFMLP:
             )
             embeds = jnp.concatenate([embeds, codes], axis=-1)
 
-        if self.use_pallas:
-            from yanerf_tpu.ops.pallas import nerf_mlp_forward_pallas
-
-            raw_densities, rays_colors = nerf_mlp_forward_pallas(self, params, embeds, directions)
-        else:
-            features = self._encode_xyz(params, embeds)
-            raw_densities = linear(params["density_layer"], features, self.compute_dtype)
-            rays_colors = self._get_colors(params, features, directions)
+        features = self._encode_xyz(params, embeds)
+        raw_densities = linear(params["density_layer"], features, self.compute_dtype)
+        rays_colors = self._get_colors(params, features, directions)
 
         return dict(rays_densities=raw_densities, rays_features=rays_colors, aux={})
 

@@ -1,14 +1,5 @@
-"""Pallas TPU kernels for the hot render path.
+"""Pallas TPU kernels for the hot render path (jnp fallbacks behind flags)."""
 
-Kernels land behind flags with jnp fallbacks (see SURVEY.md §7 step 8). Until
-the fused kernels are implemented, the flag-gated entry points raise.
-"""
+from .nerf_mlp_kernel import nerf_mlp_forward_pallas
 
-from __future__ import annotations
-
-
-def nerf_mlp_forward_pallas(model, params, embeds, directions):
-    raise NotImplementedError(
-        "The fused Pallas NeRF-MLP kernel is not available yet; "
-        "construct the model with use_pallas=False."
-    )
+__all__ = ["nerf_mlp_forward_pallas"]

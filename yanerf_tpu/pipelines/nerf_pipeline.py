@@ -169,7 +169,7 @@ class NeRFPipeline:
                 extracted_features[k] = v_list[0]
 
         implicit_functions = [
-            self._bind_model(fn, fn_params, extracted_features)
+            self._bind_model(fn, fn_params, extracted_features, evaluation_mode)
             for fn, fn_params in zip(self.implicit_functions, params["implicit_functions"])
         ]
 
@@ -206,9 +206,17 @@ class NeRFPipeline:
         return preds
 
     @staticmethod
-    def _bind_model(fn, fn_params, extracted_features: Dict[str, Any]) -> Callable[..., Dict[str, Any]]:
+    def _bind_model(
+        fn, fn_params, extracted_features: Dict[str, Any], evaluation_mode: EvaluationMode
+    ) -> Callable[..., Dict[str, Any]]:
+        extra: Dict[str, Any] = {}
+        if evaluation_mode == EvaluationMode.TRAINING:
+            # the fused Pallas forward has no VJP rule; force the jnp path
+            # under autodiff regardless of the model's use_pallas flag
+            extra["use_pallas"] = False
+
         def bound(origins, directions, lengths, **kw):
-            return fn.apply(fn_params, origins, directions, lengths, **{**kw, **extracted_features})
+            return fn.apply(fn_params, origins, directions, lengths, **{**kw, **extracted_features, **extra})
 
         return bound
 
