@@ -161,6 +161,14 @@ def train_one_epoch(
     if dataloader.sampler is not None:
         dataloader.sampler.set_epoch(epoch)
 
+    # Optional XLA trace capture of a few early steps (cfg: profile_dir /
+    # profile_start_iter / profile_num_iters) — the jax.profiler upgrade of
+    # the reference's wall-clock-only timing.
+    profile_dir = config.get("profile_dir") if epoch == 0 else None
+    profile_start = int(config.get("profile_start_iter", 5) or 5)
+    profile_len = int(config.get("profile_num_iters", 5) or 5)
+    profiling = False
+
     timer = Timer()
     preds: Dict[str, Any] = {}
     for i, data in enumerate(dataloader):
@@ -171,6 +179,10 @@ def train_one_epoch(
                 batch = hook(data=batch, iter=passed_iter, epoch=epoch, config=config)
         times["data"] = timer.since_last_check()
 
+        if profile_dir and not profiling and i == profile_start:
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
+
         want_vis = (
             train_step_vis is not None
             and config.get("val_per_iter")
@@ -178,6 +190,13 @@ def train_one_epoch(
         )
         step_fn = train_step_vis if want_vis else train_step
         state, preds = step_fn(state, batch, rng)
+
+        if profiling and i >= profile_start + profile_len - 1:
+            jax.block_until_ready(preds.get("objective"))
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            logger.info(f"Wrote profiler trace to {config.get('profile_dir')}")
         for hook in hooks:
             if isinstance(hook, TrainOutputsHook):
                 preds = hook(outputs=preds, config=config, iter=passed_iter, epoch=epoch)
