@@ -274,3 +274,13 @@ def test_view_metrics_full_grid_identity():
     metrics = ops.view_metrics(xys, images=img, images_pred=img)
     assert np.allclose(np.asarray(metrics["loss_rgb_mse"]), 0.0, atol=1e-8)
     assert metrics["loss_rgb_mse"].shape == (B,)
+
+
+def test_get_min_max_depth_bounds():
+    # camera at distance 4 from origin along z, extent 1 -> near 3, far 5
+    pose = np.eye(3, 4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    poses = jnp.asarray(pose)[None]
+    near, far = ops.get_min_max_depth_bounds(poses, jnp.zeros(3), 1.0)
+    assert abs(float(near) - 3.0) < 1e-5
+    assert abs(float(far) - 5.0) < 1e-5

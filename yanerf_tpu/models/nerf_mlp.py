@@ -111,12 +111,15 @@ class NeRFMLP:
 
     # -- apply --------------------------------------------------------------
     def _encode_xyz(self, params: Dict[str, Any], embeds: jax.Array) -> jax.Array:
+        # Keep hidden activations in the compute dtype between layers: halves
+        # the HBM traffic of layer-boundary tensors under bf16 while matmul
+        # accumulation stays f32 (the bias add happens in f32 inside linear()).
         y = embeds
-        z = embeds
+        z = embeds.astype(self.compute_dtype)
         for li, layer in enumerate(params["xyz_encoder"]["mlp"]):
             if li in self.input_skips and li > 0:
                 y = jnp.concatenate([y, z], axis=-1)
-            y = jax.nn.relu(linear(layer, y, self.compute_dtype))
+            y = jax.nn.relu(linear(layer, y, self.compute_dtype)).astype(self.compute_dtype)
         return y
 
     def _get_colors(self, params: Dict[str, Any], features: jax.Array, rays_directions: jax.Array) -> jax.Array:
