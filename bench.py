@@ -50,16 +50,18 @@ def main():
     train_step = make_train_step(pipeline, optimizer, mesh=None, donate=True)
     rng = jax.random.PRNGKey(1)
 
-    # Warmup: compile + a few steps.
+    # Warmup: compile + a few steps. NOTE: sync via a value fetch — on
+    # remote-tunneled platforms block_until_ready can return before the
+    # computation actually finishes, silently inflating throughput.
     for _ in range(3):
         state, preds = train_step(state, batch, rng)
-    jax.block_until_ready(state.params)
+    float(np.asarray(preds["objective"])[0])
 
     n_steps = 50
     start = time.perf_counter()
     for _ in range(n_steps):
         state, preds = train_step(state, batch, rng)
-    jax.block_until_ready(state.params)
+    float(np.asarray(preds["objective"])[0])
     elapsed = time.perf_counter() - start
 
     n_chips = jax.local_device_count()
