@@ -1,10 +1,7 @@
 """One-shot TPU measurement worker (run detached; writes _tpu_results.log).
 
-Runs every pending hardware measurement in a single claim session:
-  1. train-step timing (post sample_pdf fix)
-  2. pallas fused MLP kernel vs XLA path (forward)
-  3. pallas numerical equivalence on-device
-  4. eval render throughput 800x800 (XLA vs pallas, two chunk sizes)
+Round 3: bf16-cotangent training policy, remat on/off, pallas tile sweep,
+eval render fps.
 """
 
 import time
@@ -16,12 +13,9 @@ def log(msg):
     print(msg, flush=True)
 
 
-def main():
+def time_train(pipeline, label, n=60):
     import jax
-    import jax.numpy as jnp
-
-    from __graft_entry__ import _example_batch, _flagship_pipeline
-    from yanerf_tpu.ops.structures import EvaluationMode
+    from __graft_entry__ import _example_batch
     from yanerf_tpu.runners import create_optimizer, create_train_state, make_train_step, prepare_batch
     from yanerf_tpu.utils.config import ConfigDict
     from typing import NamedTuple
@@ -31,11 +25,6 @@ def main():
         focal_lengths: object
         image_rgb: object
 
-    t0 = time.time()
-    x = jnp.ones((8, 8))
-    log(f"claimed device after {time.time()-t0:.1f}s: {float(np.asarray(x.sum()))}")
-
-    pipeline = _flagship_pipeline(n_rays=4096, image_hw=800, compute_dtype="bfloat16")
     cfg = ConfigDict(dict(init_lr=5e-4, min_lr=5e-5, weight_decay=0.0, warmup_steps=1000, warmup_lr=1e-5,
                           lr_decay_type="exponential", lr_decay_rate=0.1, lr_decay_iters=250000, num_iters=200000))
     opt = create_optimizer(cfg)
@@ -44,71 +33,89 @@ def main():
     batch = prepare_batch(_example_batch(1, 800), W, None)
     step = make_train_step(pipeline, opt, donate=True)
     rng = jax.random.PRNGKey(1)
-
-    # ---- 1. train step timing
     t0 = time.time()
     state, preds = step(state, batch, rng)
-    log(f"train step compile+dispatch: {time.time()-t0:.1f}s")
+    obj0 = float(np.asarray(preds["objective"])[0])
+    log(f"{label}: compile+first {time.time()-t0:.1f}s (obj {obj0:.4f})")
+    for _ in range(5):
+        state, preds = step(state, batch, rng)
+    float(np.asarray(preds["objective"])[0])
     t0 = time.time()
-    log(f"first objective: {np.asarray(preds['objective'])} (sync {time.time()-t0:.1f}s)")
-    for n in (20, 100):
-        t0 = time.time()
-        for _ in range(n):
-            state, preds = step(state, batch, rng)
-        val = float(np.asarray(preds["objective"])[0])
-        dt = time.time() - t0
-        log(f"TRAIN {n} steps: {dt:.3f}s = {dt/n*1000:.2f} ms/step -> {4096*n/dt:.0f} rays/s (obj {val:.4f})")
+    for _ in range(n):
+        state, preds = step(state, batch, rng)
+    val = float(np.asarray(preds["objective"])[0])
+    dt = time.time() - t0
+    log(f"{label}: {dt/n*1000:.2f} ms/step -> {4096*n/dt:.0f} rays/s (obj {val:.4f})")
 
-    # ---- 2. pallas fused MLP vs XLA fwd on 1.05M pts
-    model = pipeline.implicit_functions[0]
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch, _flagship_pipeline
+    from yanerf_tpu.ops.structures import EvaluationMode
+
+    t0 = time.time()
+    x = jnp.ones((8, 8))
+    log(f"claimed device after {time.time()-t0:.1f}s: {float(np.asarray(x.sum()))}")
+
+    # ---- 1. train step: bf16 cotangents, remat off/on
+    p = _flagship_pipeline(n_rays=4096, image_hw=800, compute_dtype="bfloat16")
+    time_train(p, "TRAIN bf16-cotangent remat=off")
+    p.remat_models = True
+    time_train(p, "TRAIN bf16-cotangent remat=on")
+    p.remat_models = False
+
+    # ---- 2. pallas tile sweep on 1.05M pts
+    from yanerf_tpu.ops.pallas import nerf_mlp_forward_pallas
+    from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+
+    params = p.init(jax.random.PRNGKey(0))
+    model = p.implicit_functions[0]
     mp = params["implicit_functions"][0]
     k = jax.random.PRNGKey(2)
     o = jax.random.normal(k, (1, 4096, 1, 3))
     d = jax.random.normal(jax.random.fold_in(k, 1), (1, 4096, 1, 3))
     l = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 256), (1, 4096, 1, 256))
+    pts = ray_bundle_to_ray_points(o, d, l)
 
     def chain(name, body, n=30):
         f = jax.jit(lambda c: jax.lax.fori_loop(0, n, body, c))
         v = float(np.asarray(f(jnp.float32(0))))
         t0 = time.time()
         v = float(np.asarray(f(jnp.float32(0))))
-        log(f"{name}: {(time.time()-t0)/n*1000:.2f} ms  (val {v:.4f})")
+        log(f"{name}: {(time.time()-t0)/n*1000:.2f} ms (val {v:.4f})")
 
     def xla_body(i, c):
         out = model.apply(mp, o + c * 0, d, l, use_pallas=False)
         return c + jnp.mean(out["rays_densities"])
 
-    def pallas_body(i, c):
-        out = model.apply(mp, o + c * 0, d, l, use_pallas=True)
-        return c + jnp.mean(out["rays_densities"])
-
-    chain("MLP fwd XLA 1.05M pts", xla_body)
-    try:
-        chain("MLP fwd PALLAS 1.05M pts", pallas_body)
-        # equivalence on-device
-        ref = model.apply(mp, o, d, l, use_pallas=False)
-        pal = model.apply(mp, o, d, l, use_pallas=True)
-        err_d = float(np.abs(np.asarray(ref["rays_densities"]) - np.asarray(pal["rays_densities"])).max())
-        err_c = float(np.abs(np.asarray(ref["rays_features"]) - np.asarray(pal["rays_features"])).max())
-        log(f"PALLAS equivalence: max |d density|={err_d:.2e}, |d color|={err_c:.2e}")
-    except Exception as e:
-        log(f"PALLAS kernel FAILED on TPU: {type(e).__name__}: {e}")
+    chain("MLP fwd XLA", xla_body)
+    for tile in (1024, 2048, 8192, 16384):
+        def pallas_body(i, c, _tile=tile):
+            dens, cols = nerf_mlp_forward_pallas(model, mp, pts + c * 0, d, tile=_tile)
+            return c + jnp.mean(dens)
+        try:
+            chain(f"MLP fwd PALLAS tile={tile}", pallas_body)
+        except Exception as e:
+            log(f"PALLAS tile={tile} FAILED: {type(e).__name__}: {e}")
 
     # ---- 3. eval render 800x800
     for use_pallas in (False, True):
-        for chunk in (131072, 1048576):
+        for chunk in (131072, 1048576, 4194304):
             try:
-                pipeline.chunk_size_grid = chunk
-                for fn in pipeline.implicit_functions:
+                p.chunk_size_grid = chunk
+                for fn in p.implicit_functions:
                     fn.use_pallas = use_pallas
 
                 @jax.jit
                 def render(params, rng, poses, focals):
-                    preds = pipeline.forward(params, rng, poses=poses, focal_lengths=focals,
-                                             evaluation_mode=EvaluationMode.EVALUATION)
+                    preds = p.forward(params, rng, poses=poses, focal_lengths=focals,
+                                      evaluation_mode=EvaluationMode.EVALUATION)
                     return preds["rendered_images"]
 
                 poses_np, focals_np, _ = _example_batch(1, 800)
+                rng = jax.random.PRNGKey(1)
                 t0 = time.time()
                 frame = render(params, rng, jnp.asarray(poses_np), jnp.asarray(focals_np))
                 np.asarray(frame)

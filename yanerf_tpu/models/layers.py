@@ -41,13 +41,16 @@ def init_linear_default(rng: jax.Array, in_features: int, out_features: int) -> 
 
 
 def linear(params: Params, x: jax.Array, compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
-    """``x @ w + b`` with optional low-precision matmul, f32 accumulation."""
+    """``x @ w + b``; under a low-precision compute dtype the whole layer —
+    inputs, weights, output, and therefore the backward cotangents — stays in
+    that dtype (the MXU still accumulates f32 internally). Keeping cotangents
+    bf16 is what keeps the *backward* matmuls on the fast MXU path; an
+    f32-output formulation silently runs the backward at f32 rate.
+    """
     w, b = params["w"], params["b"]
     if compute_dtype is not None and compute_dtype != jnp.float32:
-        y = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype), preferred_element_type=jnp.float32)
-    else:
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return y + b
+        return jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype)) + b.astype(compute_dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32) + b
 
 
 def linear_with_repeat(
@@ -67,9 +70,9 @@ def linear_with_repeat(
     n1 = x.shape[-1]
     w1, w2 = w[:n1], w[n1:]
     if compute_dtype is not None and compute_dtype != jnp.float32:
-        out1 = jnp.dot(x.astype(compute_dtype), w1.astype(compute_dtype), preferred_element_type=jnp.float32)
-        out2 = jnp.dot(y.astype(compute_dtype), w2.astype(compute_dtype), preferred_element_type=jnp.float32)
-    else:
-        out1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
-        out2 = jnp.dot(y, w2, preferred_element_type=jnp.float32)
+        out1 = jnp.dot(x.astype(compute_dtype), w1.astype(compute_dtype))
+        out2 = jnp.dot(y.astype(compute_dtype), w2.astype(compute_dtype))
+        return out1 + b.astype(compute_dtype) + out2[..., None, :]
+    out1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    out2 = jnp.dot(y, w2, preferred_element_type=jnp.float32)
     return out1 + b + out2[..., None, :]

@@ -138,7 +138,8 @@ class NeRFMLP:
         color = jax.nn.relu(color)
         for layer in color_layers[1:-1]:
             color = jax.nn.relu(linear(layer, color, self.compute_dtype))
-        return jax.nn.sigmoid(linear(color_layers[-1], color, self.compute_dtype))
+        # head outputs return to f32: compositing/losses stay full precision
+        return jax.nn.sigmoid(linear(color_layers[-1], color, self.compute_dtype).astype(jnp.float32))
 
     def apply(
         self,
@@ -200,7 +201,7 @@ class NeRFMLP:
             embeds = jnp.concatenate([embeds, codes], axis=-1)
 
         features = self._encode_xyz(params, embeds)
-        raw_densities = linear(params["density_layer"], features, self.compute_dtype)
+        raw_densities = linear(params["density_layer"], features, self.compute_dtype).astype(jnp.float32)
         rays_colors = self._get_colors(params, features, directions)
 
         return dict(rays_densities=raw_densities, rays_features=rays_colors, aux={})

@@ -49,6 +49,7 @@ class NeRFPipeline:
             "loss_prev_stage_rgb_mse": 1.0,
         },
         output_rasterized_mc: bool = False,
+        remat_models: bool = False,
     ) -> None:
         self.logger = get_logger(__name__)
 
@@ -79,6 +80,7 @@ class NeRFPipeline:
 
         self.chunk_size_grid = chunk_size_grid
         self.output_rasterized_mc = output_rasterized_mc
+        self.remat_models = remat_models
         self.loss_weights = dict(loss_weights)
 
     # -- params ---------------------------------------------------------------
@@ -169,7 +171,7 @@ class NeRFPipeline:
                 extracted_features[k] = v_list[0]
 
         implicit_functions = [
-            self._bind_model(fn, fn_params, extracted_features, evaluation_mode)
+            self._bind_model(fn, fn_params, extracted_features, evaluation_mode, self.remat_models)
             for fn, fn_params in zip(self.implicit_functions, params["implicit_functions"])
         ]
 
@@ -207,10 +209,15 @@ class NeRFPipeline:
 
     @staticmethod
     def _bind_model(
-        fn, fn_params, extracted_features: Dict[str, Any], evaluation_mode: EvaluationMode
+        fn,
+        fn_params,
+        extracted_features: Dict[str, Any],
+        evaluation_mode: EvaluationMode,
+        remat: bool = False,
     ) -> Callable[..., Dict[str, Any]]:
         extra: Dict[str, Any] = {}
-        if evaluation_mode == EvaluationMode.TRAINING:
+        training = evaluation_mode == EvaluationMode.TRAINING
+        if training:
             # the fused Pallas forward has no VJP rule; force the jnp path
             # under autodiff regardless of the model's use_pallas flag
             extra["use_pallas"] = False
@@ -218,6 +225,11 @@ class NeRFPipeline:
         def bound(origins, directions, lengths, **kw):
             return fn.apply(fn_params, origins, directions, lengths, **{**kw, **extracted_features, **extra})
 
+        if training and remat:
+            # rematerialize the MLP in the backward pass: trades one extra
+            # forward's FLOPs for not round-tripping (N, 256) activations
+            # through HBM — usually a net win on bandwidth-bound steps.
+            bound = jax.checkpoint(bound)
         return bound
 
     # -- rendering ------------------------------------------------------------
