@@ -20,6 +20,10 @@ import numpy as np
 def main():
     import jax
 
+    from yanerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _example_batch, _flagship_pipeline
     from yanerf_tpu.runners import create_optimizer, create_train_state, make_train_step, prepare_batch
     from yanerf_tpu.utils.config import ConfigDict

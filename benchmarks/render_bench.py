@@ -23,11 +23,12 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--pallas", action="store_true", help="use the fused Pallas MLP (off: XLA, currently faster)")
     parser.add_argument("--hw", type=int, default=800)
     parser.add_argument("--frames", type=int, default=5)
-    parser.add_argument("--chunk", type=int, default=131072)
+    parser.add_argument("--chunk", type=int, default=1048576)
     args = parser.parse_args()
+    args.no_pallas = not args.pallas
 
     import jax
 

@@ -112,6 +112,10 @@ def main(args, config):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from yanerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from yanerf_tpu.datasets import DATASETS, create_loader, create_sampler
     from yanerf_tpu.parallel import (
         barrier,
