@@ -359,6 +359,11 @@ def test(runner_config, dataloader, state, eval_step, base_rng, logger, eval_one
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
+    # CLI-compat with the reference launcher: multi-process topology is
+    # discovered from RANK/WORLD_SIZE/SLURM env by jax.distributed; these
+    # flags are accepted but informational only.
+    parser.add_argument("--world_size", default=1, type=int, help="(compat) discovered from env")
+    parser.add_argument("--dist_url", default="env://", help="(compat) jax.distributed uses env discovery")
     parser.add_argument("--config", default="./configs/nerf/lego.yml")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--checkpoint", type=str, default=None)

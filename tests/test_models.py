@@ -88,3 +88,34 @@ def test_zero_outputer():
     out = model.apply(params, origins, directions, lengths)
     assert np.allclose(np.asarray(out["rays_densities"]), 0.0)
     assert out["rays_features"].shape == (2, 4, 1, 5, 3)
+
+
+def test_mlp_with_input_skips_affine_and_no_last_relu():
+    from yanerf_tpu.models.mlp import MLPWithInputSkips
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (7, 10))
+
+    # concat-skip variant widens the skip layer input
+    mlp = MLPWithInputSkips(n_layers=4, input_dim=10, output_dim=6, skip_dim=10, hidden_dim=12, input_skips=[2])
+    params = mlp.init(rng)
+    assert params["mlp"][2]["w"].shape == (12 + 10, 12)
+    out = mlp.apply(params, x)
+    assert out.shape == (7, 6)
+    assert np.asarray(out).min() >= 0  # final ReLU
+
+    # affine-skip variant keeps layer widths and adds affine params
+    mlp_aff = MLPWithInputSkips(
+        n_layers=4, input_dim=10, output_dim=6, skip_dim=10, hidden_dim=12,
+        input_skips=[2], skip_affine_trans=True,
+    )
+    p_aff = mlp_aff.init(rng)
+    assert p_aff["mlp"][2]["w"].shape == (12, 12)
+    assert p_aff["skip_affines"][0]["l1"]["w"].shape == (10, 24)
+    out_aff = mlp_aff.apply(p_aff, x)
+    assert out_aff.shape == (7, 6) and np.isfinite(np.asarray(out_aff)).all()
+
+    # no_last_relu leaves the final layer linear (negatives possible)
+    mlp_lin = MLPWithInputSkips(n_layers=2, input_dim=10, output_dim=6, hidden_dim=12, input_skips=[], no_last_relu=True)
+    out_lin = mlp_lin.apply(mlp_lin.init(rng), x)
+    assert np.asarray(out_lin).min() < 0

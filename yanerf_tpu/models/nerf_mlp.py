@@ -32,6 +32,7 @@ from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
 
 from .builder import MODELS
 from .layers import init_linear_default, init_linear_xavier, linear, linear_with_repeat
+from .mlp import MLPWithInputSkips
 
 
 @MODELS.register_module()
@@ -78,19 +79,21 @@ class NeRFMLP:
         self.input_dim = self.embedding_dim_xyz * int(input_xyz) + latent_dim
         self.n_extra_color_layers = (n_layers // 4) if nerf_paper_v1 else 0
 
+        self.xyz_encoder = MLPWithInputSkips(
+            n_layers=n_layers,
+            input_dim=self.input_dim,
+            output_dim=n_hidden_neurons_xyz,
+            skip_dim=self.input_dim,
+            hidden_dim=n_hidden_neurons_xyz,
+            input_skips=self.input_skips,
+            compute_dtype=self.compute_dtype,
+        )
+
     # -- init ---------------------------------------------------------------
     def init(self, rng: jax.Array) -> Dict[str, Any]:
         keys = jax.random.split(rng, 4)
 
-        # xyz encoder: n_layers linears, skip concat re-widens the input.
-        mlp_keys = jax.random.split(keys[0], self.n_layers)
-        mlp_layers: List[Dict[str, jax.Array]] = []
-        for li in range(self.n_layers):
-            dim_in = self.n_hidden_neurons_xyz if li > 0 else self.input_dim
-            dim_out = self.n_hidden_neurons_xyz
-            if li > 0 and li in self.input_skips:
-                dim_in = self.n_hidden_neurons_xyz + self.input_dim
-            mlp_layers.append(init_linear_xavier(mlp_keys[li], dim_in, dim_out))
+        xyz_encoder_params = self.xyz_encoder.init(keys[0])
 
         intermediate = init_linear_xavier(keys[1], self.n_hidden_neurons_xyz, self.n_hidden_neurons_xyz)
         density = init_linear_xavier(keys[2], self.n_hidden_neurons_xyz, 1, zero_bias=True)
@@ -103,7 +106,7 @@ class NeRFMLP:
         color_layers.append(init_linear_default(color_keys[-1], self.n_hidden_neurons_dir, self.color_dim))
 
         return {
-            "xyz_encoder": {"mlp": mlp_layers},
+            "xyz_encoder": xyz_encoder_params,
             "intermediate_linear": intermediate,
             "density_layer": density,
             "color_layer": color_layers,
@@ -111,16 +114,7 @@ class NeRFMLP:
 
     # -- apply --------------------------------------------------------------
     def _encode_xyz(self, params: Dict[str, Any], embeds: jax.Array) -> jax.Array:
-        # Keep hidden activations in the compute dtype between layers: halves
-        # the HBM traffic of layer-boundary tensors under bf16 while matmul
-        # accumulation stays f32 (the bias add happens in f32 inside linear()).
-        y = embeds
-        z = embeds.astype(self.compute_dtype)
-        for li, layer in enumerate(params["xyz_encoder"]["mlp"]):
-            if li in self.input_skips and li > 0:
-                y = jnp.concatenate([y, z], axis=-1)
-            y = jax.nn.relu(linear(layer, y, self.compute_dtype)).astype(self.compute_dtype)
-        return y
+        return self.xyz_encoder.apply(params["xyz_encoder"], embeds)
 
     def _get_colors(self, params: Dict[str, Any], features: jax.Array, rays_directions: jax.Array) -> jax.Array:
         color_layers = params["color_layer"]

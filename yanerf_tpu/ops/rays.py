@@ -133,9 +133,13 @@ def get_min_max_depth_bounds(
     scene_center: jax.Array,
     scene_extent: float,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Near/far planes from camera distance to the scene center ± extent."""
-    cam_center = poses[:, :, -1]
-    projected_center = jnp.einsum("bij,j->bi", poses[:, :3, :-1], scene_center)
+    """Near/far planes from camera distance to the scene center ± extent.
+
+    Accepts (B, 3, 4) or (B, 4, 4) camera-to-world poses (the reference only
+    handles 3x4; ray_sampler.py:389-401).
+    """
+    cam_center = poses[:, :3, -1]
+    projected_center = jnp.einsum("bij,j->bi", poses[:, :3, :3], scene_center)
     center_dist = jnp.sqrt(jnp.clip(jnp.sum((cam_center - projected_center) ** 2, axis=-1), min=0.001))
     center_dist = jnp.clip(center_dist, min=scene_extent + 1e-3)
     return jnp.mean(center_dist - scene_extent), jnp.mean(center_dist + scene_extent)

@@ -82,3 +82,13 @@ def barrier(name: str = "barrier") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def pause_to_debug() -> None:
+    """Drop rank 0 into a debugger, synchronizing other ranks at a barrier
+    (reference runners/utils.py:286-293)."""
+    if is_main_process():
+        import pdb
+
+        pdb.set_trace()
+    barrier("pause_to_debug")

@@ -64,16 +64,75 @@ class HTTPBackend(BaseStorageBackend):
         return self.get(filepath).decode(encoding)
 
 
+class LmdbBackend(BaseStorageBackend):
+    """LMDB key-value storage (requires the optional ``lmdb`` package)."""
+
+    def __init__(self, db_path: str, readonly: bool = True, lock: bool = False, readahead: bool = False, **kwargs):
+        try:
+            import lmdb
+        except ImportError as e:
+            raise ImportError("Please install lmdb to enable LmdbBackend.") from e
+        self.db_path = str(db_path)
+        self._client = lmdb.open(self.db_path, readonly=readonly, lock=lock, readahead=readahead, **kwargs)
+
+    def get(self, filepath: str) -> bytes:
+        with self._client.begin(write=False) as txn:
+            return txn.get(str(filepath).encode("ascii"))
+
+    def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
+        return self.get(filepath).decode(encoding)
+
+
+class MemcachedBackend(BaseStorageBackend):
+    """Memcached storage (requires the optional ``pymemcache`` package)."""
+
+    def __init__(self, server: str = "127.0.0.1:11211", **kwargs):
+        try:
+            from pymemcache.client.base import Client
+        except ImportError as e:
+            raise ImportError("Please install pymemcache to enable MemcachedBackend.") from e
+        host, _, port = server.partition(":")
+        self._client = Client((host, int(port or 11211)), **kwargs)
+
+    def get(self, filepath: str) -> bytes:
+        return self._client.get(str(filepath))
+
+    def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
+        return self.get(filepath).decode(encoding)
+
+
+class PetrelBackend(BaseStorageBackend):
+    """Petrel/Ceph object storage (requires the optional ``petrel_client``)."""
+
+    def __init__(self, enable_mc: bool = True, **kwargs):
+        try:
+            from petrel_client import client
+        except ImportError as e:
+            raise ImportError("Please install petrel_client to enable PetrelBackend.") from e
+        self._client = client.Client(enable_mc=enable_mc, **kwargs)
+
+    def get(self, filepath: str) -> bytes:
+        return memoryview(self._client.Get(str(filepath))).tobytes()
+
+    def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
+        return self.get(filepath).decode(encoding)
+
+
 class FileClient:
     """Dispatches file access to a storage backend chosen by name or prefix."""
 
     _backends: Dict[str, Type[BaseStorageBackend]] = {
         "disk": HardDiskBackend,
         "http": HTTPBackend,
+        "lmdb": LmdbBackend,
+        "memcached": MemcachedBackend,
+        "petrel": PetrelBackend,
     }
     _prefix_to_backend: Dict[str, str] = {
         "http": "http",
         "https": "http",
+        "s3": "petrel",
+        "petrel": "petrel",
     }
 
     def __init__(self, backend: str = "disk", **kwargs: Any):
