@@ -84,3 +84,54 @@ def test_pipeline_training_forces_jnp_path_under_grad():
 
     grads = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_fused_backward_matches_jnp_grads():
+    """Custom-VJP Pallas backward must reproduce XLA weight gradients."""
+    from yanerf_tpu.ops.pallas import make_fused_mlp
+    from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+
+    model, params, origins, directions, lengths = _model_and_inputs(n_rays=4, n_pts=6)
+    points = ray_bundle_to_ray_points(origins, directions, lengths)
+    key = jax.random.PRNGKey(7)
+    td = jax.random.normal(key, (1, 4, 1, 6, 1))
+    tc = jax.random.normal(jax.random.fold_in(key, 1), (1, 4, 1, 6, 3))
+
+    def loss_jnp(p):
+        out = model.apply(p, origins, directions, lengths, use_pallas=False)
+        return jnp.sum(out["rays_densities"] * td) + jnp.sum(out["rays_features"] * tc)
+
+    fused = make_fused_mlp(model)
+
+    def loss_fused(p):
+        dens, cols = fused(p, points, directions)
+        return jnp.sum(dens * td) + jnp.sum(cols * tc)
+
+    g_ref = jax.grad(loss_jnp)(params)
+    g_pal = jax.grad(loss_fused)(params)
+
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_pal = jax.tree_util.tree_leaves(g_pal)
+    assert len(flat_ref) == len(flat_pal)
+    for (path, a), b in zip(flat_ref, flat_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5,
+            err_msg=f"gradient mismatch at {path}",
+        )
+
+
+def test_fused_backward_padding_does_not_leak():
+    """Padded (zero-cotangent) tail points must not contribute gradients."""
+    from yanerf_tpu.ops.pallas import nerf_mlp_backward_pallas
+    from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+
+    model, params, origins, directions, lengths = _model_and_inputs(n_rays=3, n_pts=5)  # 15 pts
+    points = ray_bundle_to_ray_points(origins, directions, lengths)
+    key = jax.random.PRNGKey(3)
+    gd = jax.random.normal(key, (1, 3, 1, 5, 1))
+    gc = jax.random.normal(jax.random.fold_in(key, 2), (1, 3, 1, 5, 3))
+
+    g8 = nerf_mlp_backward_pallas(model, params, points, directions, gd, gc, tile=8, interpret=True)
+    g16 = nerf_mlp_backward_pallas(model, params, points, directions, gd, gc, tile=16, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(g8), jax.tree_util.tree_leaves(g16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

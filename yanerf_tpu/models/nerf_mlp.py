@@ -54,6 +54,7 @@ class NeRFMLP:
         nerf_paper_v1: bool = False,
         compute_dtype: str = "float32",
         use_pallas: bool = False,
+        use_pallas_train: bool = False,
     ) -> None:
         if not input_xyz and latent_dim <= 0:
             raise ValueError("The latent dimension has to be > 0 if xyz is not input!")
@@ -73,6 +74,7 @@ class NeRFMLP:
         self.nerf_paper_v1 = nerf_paper_v1
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.use_pallas = use_pallas
+        self.use_pallas_train = use_pallas_train
 
         self.embedding_dim_xyz = harmonic_embedding_dim(3, n_harmonic_functions_xyz, harmonic_functions_xyz_append_intput)
         self.embedding_dim_dir = harmonic_embedding_dim(3, n_harmonic_functions_dir, harmonic_functions_dir_append_intput)
@@ -173,10 +175,11 @@ class NeRFMLP:
 
         use_pallas = use_pallas and self.input_xyz and self.latent_dim == 0
         if use_pallas:
-            # the fused kernel embeds in-register; skip the XLA embedding
-            from yanerf_tpu.ops.pallas import nerf_mlp_forward_pallas
+            # fused forward (+ custom-VJP fused backward when differentiated);
+            # the kernel embeds in-register, skipping the XLA embedding
+            from yanerf_tpu.ops.pallas import make_fused_mlp
 
-            raw_densities, rays_colors = nerf_mlp_forward_pallas(self, params, points, directions)
+            raw_densities, rays_colors = make_fused_mlp(self)(params, points, directions)
             return dict(rays_densities=raw_densities, rays_features=rays_colors, aux={})
 
         if self.input_xyz:

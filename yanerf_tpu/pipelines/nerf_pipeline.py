@@ -218,9 +218,9 @@ class NeRFPipeline:
         extra: Dict[str, Any] = {}
         training = evaluation_mode == EvaluationMode.TRAINING
         if training:
-            # the fused Pallas forward has no VJP rule; force the jnp path
-            # under autodiff regardless of the model's use_pallas flag
-            extra["use_pallas"] = False
+            # under autodiff, route through the fused custom-VJP kernels only
+            # when the model explicitly opted in via use_pallas_train
+            extra["use_pallas"] = bool(getattr(fn, "use_pallas_train", False))
 
         def bound(origins, directions, lengths, **kw):
             return fn.apply(fn_params, origins, directions, lengths, **{**kw, **extracted_features, **extra})
