@@ -159,3 +159,25 @@ def test_pipeline_forward_is_jittable():
     # gradients actually flow into the first MLP layer
     g0 = np.asarray(grads["implicit_functions"][0]["xyz_encoder"]["mlp"][0]["w"])
     assert np.abs(g0).max() > 0
+
+
+def test_pipeline_per_pass_model_list():
+    """`model` may be a list of per-pass configs; num_passes follows it."""
+    cfg = Config.fromfile(osp.join(CFG_DIR, "pipelines", "nerf_pipeline_cfg_with_mlp.py"))
+    small = dict(cfg.pipeline.model)
+    big = dict(cfg.pipeline.model)
+    big["n_hidden_neurons_xyz"] = 96
+    cfg.pipeline.model = [small, big]
+    cfg.pipeline.num_passes = 1  # rewritten to 2 from the list length
+    pipeline = PIPELINES.build(cfg.pipeline)
+    assert pipeline.num_passes == 2
+    assert pipeline.implicit_functions[0].n_hidden_neurons_xyz == 64
+    assert pipeline.implicit_functions[1].n_hidden_neurons_xyz == 96
+
+    params = pipeline.init(jax.random.PRNGKey(0))
+    poses, focals, image, rng = _camera_batch()
+    preds = pipeline.forward(
+        params, rng, poses=poses, focal_lengths=focals,
+        bg_image_rgb=image, image_rgb=image, evaluation_mode=EvaluationMode.TRAINING,
+    )
+    assert "loss_prev_stage_rgb_mse" in preds and np.isfinite(np.asarray(preds["objective"])).all()

@@ -94,6 +94,12 @@ def _nerf_mlp_bwd_kernel(
         grad_refs[2 * i][:] = grad_refs[2 * i][:] + dw
         grad_refs[2 * i + 1][:] = grad_refs[2 * i + 1][:] + jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
 
+    def relu_mask(g, act):
+        # NOTE: comparisons/selects on bf16 operands crash the Mosaic remote
+        # compile; compare in f32, materialize the mask f32, cast to multiply.
+        mask = (act.astype(jnp.float32) > 0).astype(jnp.float32)
+        return g * mask.astype(g.dtype)
+
     def mm(x, w_ref, b_ref):
         return (
             jnp.dot(x, w_ref[:].astype(compute_dtype), preferred_element_type=jnp.float32)
@@ -169,13 +175,13 @@ def _nerf_mlp_bwd_kernel(
     for back in range(n_extra_color - 1, -1, -1):
         # relu mask of this extra layer's OUTPUT (= input of the next stage)
         mask_src = extra_inputs[back + 1] if back + 1 < len(extra_inputs) else act
-        gc = gc * (mask_src > 0).astype(compute_dtype)
+        gc = relu_mask(gc, mask_src)
         acc_dw(extra_indices[back], extra_inputs[back], gc)
         gc = gmm_t(gc, weight_refs[2 * extra_indices[back]][:])
 
     # relu mask of the first color layer's output
     act0 = extra_inputs[0] if n_extra_color > 0 else act
-    gc = gc * (act0 > 0).astype(compute_dtype)
+    gc = relu_mask(gc, act0)
     acc_dw(c0_idx, jnp.concatenate([inter, dir_embeds], axis=-1), gc)
     g_inter = gmm_t(gc, w_c0[:h])
 
@@ -185,7 +191,7 @@ def _nerf_mlp_bwd_kernel(
 
     g_back = g_feat
     for li in range(n_layers - 1, -1, -1):
-        g_back = g_back * (layer_outputs[li] > 0).astype(compute_dtype)
+        g_back = relu_mask(g_back, layer_outputs[li])
         acc_dw(li, layer_inputs[li], g_back)
         if li > 0:
             g_full = gmm_t(g_back, weight_refs[2 * li][:])
@@ -263,12 +269,25 @@ def nerf_mlp_backward_pallas(
         out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
         out_specs.append(pl.BlockSpec(shape, lambda i, _nd=len(shape): tuple([0] * _nd), memory_space=pltpu.VMEM))
 
+    flops_per_pt = 6 * (
+        model.input_dim * model.n_hidden_neurons_xyz
+        + (model.n_layers - 1) * model.n_hidden_neurons_xyz * model.n_hidden_neurons_xyz
+        + model.n_hidden_neurons_xyz * (model.n_hidden_neurons_xyz + 1)
+        + (model.n_hidden_neurons_xyz + model.embedding_dim_dir) * model.n_hidden_neurons_dir
+        + model.n_hidden_neurons_dir * model.color_dim
+    )
+
     grads_flat = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * n_padded,
+            bytes_accessed=n_padded * (3 + 3 + 1 + model.color_dim) * 4,
+            transcendentals=n_padded * (model.embedding_dim_xyz + model.embedding_dim_dir + 4),
+        ),
         interpret=interpret,
     )(flat_points, flat_dirs, flat_g, freqs_xyz, freqs_dir, *weights)
 
