@@ -21,13 +21,21 @@ import jax
 import jax.numpy as jnp
 
 
-def weighted_sample_without_replacement(rng: jax.Array, weights: jax.Array, num_samples: int) -> jax.Array:
+def weighted_sample_without_replacement(
+    rng: jax.Array, weights: jax.Array, num_samples: int, approx: bool = True
+) -> jax.Array:
     """Sample ``num_samples`` indices per row of ``weights`` w/o replacement.
 
     Args:
         rng: PRNG key.
         weights: ``(B, N)`` non-negative, unnormalized sampling weights.
         num_samples: static number of samples per row.
+        approx: use ``lax.approx_max_k`` for the Gumbel top-k. Exact
+            ``top_k`` lowers to a full variadic sort on TPU (~3.5 ms for
+            4096-of-640k); the aggregation-based approximate top-k is far
+            faster and, since the keys are i.i.d. perturbations, still yields
+            an (approximately) correctly-distributed without-replacement
+            sample. Set False for the exact sampler.
 
     Returns:
         ``(B, num_samples)`` int32 indices into the last axis.
@@ -36,8 +44,11 @@ def weighted_sample_without_replacement(rng: jax.Array, weights: jax.Array, num_
     gumbel = jax.random.gumbel(rng, weights.shape, dtype=weights.dtype)
     log_w = jnp.log(jnp.maximum(weights, finfo.tiny))
     keys = jnp.where(weights > 0, log_w + gumbel, -jnp.inf)
-    _, idx = jax.lax.top_k(keys, num_samples)
-    return idx
+    if approx and num_samples * 4 <= weights.shape[-1]:
+        _, idx = jax.lax.approx_max_k(keys, num_samples, recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(keys, num_samples)
+    return idx.astype(jnp.int32)
 
 
 def sample_grid(tensor: jax.Array, image_sampling_grid: jax.Array) -> jax.Array:
