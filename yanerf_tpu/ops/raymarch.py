@@ -19,7 +19,7 @@ Everything is a pure function; the density noise draw takes an explicit key.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

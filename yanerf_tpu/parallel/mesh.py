@@ -15,7 +15,7 @@ Parameters stay replicated (the MLP is ~1 MB), so no FSDP axis is needed.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

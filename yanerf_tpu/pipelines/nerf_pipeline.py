@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from yanerf_tpu.models import MODELS
 from yanerf_tpu.ops.metrics import view_metrics
 from yanerf_tpu.ops.sampling import sample_grid, scatter_rays_to_image
-from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RendererOutput, RenderSamplingMode
+from yanerf_tpu.ops.structures import EvaluationMode, RendererOutput, RenderSamplingMode
 from yanerf_tpu.parallel.sharding import constrain_ray_bundle, constrain_rays
 from yanerf_tpu.utils.logging import get_logger
 

@@ -19,7 +19,7 @@ sampled grid size (ray_sampler.py:236-239).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

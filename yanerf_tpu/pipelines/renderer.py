@@ -12,7 +12,7 @@ so a 2-pass NeRF compiles to a single XLA program: coarse MLP -> compositing
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ weights into this framework's param pytree for parity evaluation.
 
 from __future__ import annotations
 
-import os.path as osp
 import re
 from pathlib import Path
 from typing import Any, Dict, Optional, Union

@@ -29,7 +29,7 @@ import tempfile
 import types
 import uuid
 from importlib import util as importlib_util
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 import yaml
 
