@@ -170,3 +170,10 @@ def test_real_blender_smoke():
     ds = BlenderDataset("data/nerf_synthetic/lego", "train")
     pose, focal, image = ds[0]
     assert image.shape[2] == 3
+
+
+def test_llff_path_zflat(llff_root):
+    ds = LLFFDataset(str(llff_root), "train", factor=2, test_skip=3, path_zflat=True)
+    # z-flat spiral: half the views, single rotation, zero z-radius
+    assert ds.render_poses.shape[0] == 60
+    assert np.isfinite(ds.render_poses).all()

@@ -119,3 +119,16 @@ def test_mlp_with_input_skips_affine_and_no_last_relu():
     mlp_lin = MLPWithInputSkips(n_layers=2, input_dim=10, output_dim=6, hidden_dim=12, input_skips=[], no_last_relu=True)
     out_lin = mlp_lin.apply(mlp_lin.init(rng), x)
     assert np.asarray(out_lin).min() < 0
+
+
+def test_nerf_paper_v1_extra_color_layers():
+    cfg = Config.fromfile(osp.join(CFG_DIR, "models/nerf_mlp.yml"))
+    cfg.model.nerf_paper_v1 = True
+    cfg.model.n_layers = 8  # -> 2 extra color layers
+    model = MODELS.build(cfg.model)
+    assert model.n_extra_color_layers == 2
+    params = model.init(jax.random.PRNGKey(0))
+    assert len(params["color_layer"]) == 4  # first + 2 extra + last
+    origins, directions, lengths = _rand_bundle(jax.random.PRNGKey(1), 1, (3, 1), 4)
+    out = model.apply(params, origins, directions, lengths)
+    assert out["rays_features"].shape == (1, 3, 1, 4, 3)

@@ -284,3 +284,37 @@ def test_get_min_max_depth_bounds():
     near, far = ops.get_min_max_depth_bounds(poses, jnp.zeros(3), 1.0)
     assert abs(float(near) - 3.0) < 1e-5
     assert abs(float(far) - 5.0) < 1e-5
+
+
+def test_emission_absorption_cap1_and_minimum_variants():
+    lengths = jnp.asarray([[1.0, 2.0, 3.0]])
+    directions = jnp.asarray([[0.0, 0.0, 1.0]])
+    sigma = np.array([0.4, 0.8, 0.3], dtype=np.float32)
+    densities = jnp.asarray(sigma).reshape(1, 3, 1)
+    colors = jnp.ones((1, 3, 3))
+
+    feats, _, _, weights = ops.emission_absorption(
+        densities, colors, lengths, directions,
+        capping_function="cap1", weight_function="minimum", background_opacity=1.0,
+    )
+    # cap1: opacity = min(cumsum(delta*sigma), 1); weights = min(capped, shifted-absorption)
+    deltas = np.array([1.0, 1.0, 1.0])
+    capped = np.minimum(deltas * sigma, 1.0)
+    rays_op = np.minimum(np.cumsum(deltas * sigma), 1.0)
+    absorption = np.concatenate([[1.0], 1.0 - rays_op[:-1]])
+    expected = np.minimum(capped, absorption)
+    assert np.allclose(np.asarray(weights)[0], expected, atol=1e-6)
+
+
+def test_emission_absorption_blend_output():
+    lengths = jnp.asarray([[1.0, 2.0]])
+    directions = jnp.asarray([[0.0, 0.0, 1.0]])
+    densities = jnp.asarray([[0.5], [0.0]]).reshape(1, 2, 1)
+    colors = jnp.ones((1, 2, 3))
+    bg = jnp.asarray([[0.0, 0.0, 0.0]])
+    soft, _, op, w = ops.emission_absorption(
+        densities, colors, lengths, directions, bg_color=bg, blend_output=True, background_opacity=0.0
+    )
+    # blend_output: features = opacity * sum(w*c) + (1-op)*bg
+    expected = np.asarray(op) * np.asarray(w).sum() * 1.0
+    assert np.allclose(np.asarray(soft)[0, 0], expected[0, 0], atol=1e-5)

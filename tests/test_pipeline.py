@@ -181,3 +181,16 @@ def test_pipeline_per_pass_model_list():
         bg_image_rgb=image, image_rgb=image, evaluation_mode=EvaluationMode.TRAINING,
     )
     assert "loss_prev_stage_rgb_mse" in preds and np.isfinite(np.asarray(preds["objective"])).all()
+
+
+def test_pipeline_unchunked_eval_matches_chunked():
+    pipeline, params = _load_pipeline("nerf_pipeline_cfg_with_mlp.py")
+    poses, focals, image, rng = _camera_batch()
+    kwargs = dict(poses=poses, focal_lengths=focals, bg_image_rgb=image, image_rgb=image,
+                  evaluation_mode=EvaluationMode.EVALUATION)
+    chunked = pipeline.forward(params, rng, **kwargs)
+    pipeline.chunk_size_grid = 0  # direct (unchunked) renderer call
+    direct = pipeline.forward(params, rng, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(chunked["rendered_images"]), np.asarray(direct["rendered_images"]), rtol=2e-4, atol=2e-5
+    )

@@ -144,3 +144,34 @@ def test_fileio_load_dump(tmp_path):
         assert fileio.load(path) == obj
     text = fileio.dump(obj, file_format="json")
     assert "\"x\"" in text
+
+
+def test_config_fromstring():
+    cfg = Config.fromstring("a: 1\nb:\n  c: [2, 3]\n", ".yml")
+    assert cfg.a == 1 and cfg.b.c == [2, 3]
+    cfg_py = Config.fromstring("x = dict(y=4)\n", ".py")
+    assert cfg_py.x.y == 4
+
+
+def test_timer_and_check_time():
+    import time as _time
+
+    from yanerf_tpu.utils import Timer, check_time
+
+    t = Timer()
+    _time.sleep(0.01)
+    assert t.since_start() >= 0.01
+    first = t.since_last_check()
+    assert first < 0.01  # checked right after since_start reset the mark
+    assert check_time("test_timer_id") == 0.0  # first call registers
+    _time.sleep(0.005)
+    assert check_time("test_timer_id") >= 0.005
+
+
+def test_print_log_variants(capsys):
+    from yanerf_tpu.utils import print_log
+
+    print_log("to stdout", logger=None)
+    assert "to stdout" in capsys.readouterr().out
+    print_log("silenced", logger="silent")
+    assert capsys.readouterr().out == ""

@@ -150,6 +150,7 @@ def nerf_mlp_forward_pallas(
     directions: jax.Array,
     tile: int = DEFAULT_TILE,
     interpret: bool = None,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused forward over arbitrary-shaped ray points.
 
@@ -239,6 +240,9 @@ def nerf_mlp_forward_pallas(
             bytes_accessed=n_padded * (3 + 3 + out_dim) * 4,
             transcendentals=n_padded * (model.embedding_dim_xyz + model.embedding_dim_dir + 4),
         ),
+        # v5e has 128MB physical VMEM; the default scoped limit (16MB) blocks
+        # tiles >= 4096 — raise it so large tiles amortize per-matmul overhead.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes) if not interpret else None,
         interpret=interpret,
     )(flat_points, flat_dirs, freqs_xyz, freqs_dir, *weights)
 
