@@ -194,3 +194,31 @@ def test_pipeline_unchunked_eval_matches_chunked():
     np.testing.assert_allclose(
         np.asarray(chunked["rendered_images"]), np.asarray(direct["rendered_images"]), rtol=2e-4, atol=2e-5
     )
+
+
+def test_pipeline_per_image_depth_bounds():
+    """LLFF-style traced min/max depth arrays flow through ray sampling."""
+    pipeline, params = _load_pipeline("nerf_pipeline_cfg_with_zero_outputer.py")
+    poses, focals, image, rng = _camera_batch()
+    min_d = jnp.asarray([[1.5], [1.5]])
+    max_d = jnp.asarray([[4.5], [4.5]])
+    preds = pipeline.forward(
+        params, rng,
+        poses=poses, focal_lengths=focals,
+        min_depth=min_d, max_depth=max_d,
+        bg_image_rgb=image, image_rgb=image,
+        evaluation_mode=EvaluationMode.EVALUATION,
+    )
+    assert np.allclose(np.asarray(preds["objective"]), 0.0, atol=1e-6)
+
+    # and under jit with traced bounds
+    @jax.jit
+    def fwd(p, lo, hi):
+        return pipeline.forward(
+            p, rng, poses=poses, focal_lengths=focals, min_depth=lo, max_depth=hi,
+            bg_image_rgb=image, image_rgb=image, evaluation_mode=EvaluationMode.EVALUATION,
+        )["rendered_depths"]
+
+    d1 = fwd(params, min_d, max_d)
+    d2 = fwd(params, min_d + 1.0, max_d + 1.0)
+    assert np.isfinite(np.asarray(d1)).all() and np.isfinite(np.asarray(d2)).all()
