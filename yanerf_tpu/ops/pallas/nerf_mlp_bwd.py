@@ -33,7 +33,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .nerf_mlp_kernel import _default_interpret, _embed_in_kernel, _round_up, nerf_mlp_forward_pallas
+from .nerf_mlp_kernel import (
+    _default_interpret,
+    _embed_in_kernel,
+    _round_up,
+    embedding_constants,
+    nerf_mlp_forward_pallas,
+)
 
 BWD_TILE = 1024
 
@@ -66,8 +72,10 @@ def _nerf_mlp_bwd_kernel(
     points_ref,
     dirs_ref,
     g_ref,
-    freqs_xyz_ref,
-    freqs_dir_ref,
+    sel_xyz_ref,
+    ftile_xyz_ref,
+    sel_dir_ref,
+    ftile_dir_ref,
     *refs,
     n_layers: int,
     input_skips: Tuple[int, ...],
@@ -114,11 +122,9 @@ def _nerf_mlp_bwd_kernel(
 
     points = points_ref[:]
     dirs = dirs_ref[:]
-    fx = freqs_xyz_ref[:]
-    fd = freqs_dir_ref[:]
 
     # ---- recompute forward, stashing per-layer inputs/outputs in VMEM -----
-    embeds = _embed_in_kernel(points, fx, append_xyz).astype(compute_dtype)
+    embeds = _embed_in_kernel(points, sel_xyz_ref[:], ftile_xyz_ref[:], append_xyz).astype(compute_dtype)
     layer_inputs = []
     layer_outputs = []
     y = embeds
@@ -141,7 +147,7 @@ def _nerf_mlp_bwd_kernel(
     inter = mm(features, w_int, b_int).astype(compute_dtype)
 
     norm = jnp.sqrt(jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-24))
-    dir_embeds = _embed_in_kernel(dirs / norm, fd, append_dir).astype(compute_dtype)
+    dir_embeds = _embed_in_kernel(dirs / norm, sel_dir_ref[:], ftile_dir_ref[:], append_dir).astype(compute_dtype)
 
     c0_idx = idx
     w_c0, b_c0 = w_pair(idx); idx += 1
@@ -215,7 +221,6 @@ def nerf_mlp_backward_pallas(
     if interpret is None:
         interpret = _default_interpret()
 
-    from yanerf_tpu.ops.harmonics import harmonic_frequencies
 
     *lead, n_pts, _ = points.shape
     n_total = int(np.prod(lead)) * n_pts
@@ -234,8 +239,8 @@ def nerf_mlp_backward_pallas(
         flat_g = jnp.pad(flat_g, ((0, pad), (0, 0)))  # zero cotangents: no grad contribution
 
     weights = _flatten_weights(model, params)
-    freqs_xyz = jnp.asarray(harmonic_frequencies(model.n_harmonic_functions_xyz)).reshape(1, -1)
-    freqs_dir = jnp.asarray(harmonic_frequencies(model.n_harmonic_functions_dir)).reshape(1, -1)
+    sel_xyz, ftile_xyz = embedding_constants(model.n_harmonic_functions_xyz)
+    sel_dir, ftile_dir = embedding_constants(model.n_harmonic_functions_dir)
 
     compute_dtype = model.compute_dtype if model.compute_dtype != jnp.float32 else jnp.float32
 
@@ -255,8 +260,10 @@ def nerf_mlp_backward_pallas(
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 1 + model.color_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(freqs_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(freqs_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(sel_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ftile_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(sel_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ftile_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: tuple([0] * _nd), memory_space=pltpu.VMEM))
@@ -288,8 +295,9 @@ def nerf_mlp_backward_pallas(
             bytes_accessed=n_padded * (3 + 3 + 1 + model.color_dim) * 4,
             transcendentals=n_padded * (model.embedding_dim_xyz + model.embedding_dim_dir + 4),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
-    )(flat_points, flat_dirs, flat_g, freqs_xyz, freqs_dir, *weights)
+    )(flat_points, flat_dirs, flat_g, sel_xyz, ftile_xyz, sel_dir, ftile_dir, *weights)
 
     # biases back to (dim,)
     fixed = []

@@ -40,27 +40,51 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _embed_in_kernel(x, freqs_row, append_input: bool):
+def _embed_in_kernel(x, sel, freqs_tiled, append_input: bool):
     """Harmonic embedding with the reference's frequency-major layout.
 
-    x: (T, D); freqs_row: (1, F) -> (T, D*2F [+ D]) laid out as
-    [sin(d0 f0..fF-1), sin(d1 ...), ..., cos(...), x]. Built per-coordinate
-    with 2-D ops only (TPU-friendly lane layout).
+    x: (T, D); sel: (D, D*F) one-hot coordinate-selection matrix;
+    freqs_tiled: (1, D*F) frequencies repeated per coordinate. The
+    per-coordinate broadcast runs as one tiny MXU matmul followed by wide
+    VPU ops — per-coordinate column slicing starves the lanes and costs
+    ~10 ms/1M pts (measured), this formulation is ~free.
+    Output: (T, D*2F [+ D]) as [sin(d0 f0..), sin(d1 ..), cos(..), x].
     """
-    D = x.shape[1]
-    inner = jnp.concatenate([x[:, d : d + 1] * freqs_row for d in range(D)], axis=-1)
+    # Precision.HIGHEST: the default f32 MXU path decomposes into bf16
+    # passes; the resulting ~1e-3 relative error on x gets multiplied by
+    # frequencies up to 2^9 and wrecks the sin/cos phases. HIGHEST keeps the
+    # pass-through exact (the matmul is (T,3)x(3,D*F) — cost is negligible).
+    inner = (
+        jnp.dot(x, sel, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        * freqs_tiled
+    )
     parts = [jnp.sin(inner), jnp.cos(inner)]
     if append_input:
         parts.append(x)
     return jnp.concatenate(parts, axis=-1)
 
 
+def embedding_constants(n_harmonic: int, omega_0: float = 1.0, logspace: bool = True, dims: int = 3):
+    """Host-side (sel, freqs_tiled) inputs for :func:`_embed_in_kernel`."""
+    from yanerf_tpu.ops.harmonics import harmonic_frequencies
+
+    freqs = harmonic_frequencies(n_harmonic, omega_0, logspace)
+    n_f = len(freqs)
+    sel = np.zeros((dims, dims * n_f), dtype=np.float32)
+    for d in range(dims):
+        sel[d, d * n_f : (d + 1) * n_f] = 1.0
+    freqs_tiled = np.tile(freqs, dims)[None, :]
+    return jnp.asarray(sel), jnp.asarray(freqs_tiled)
+
+
 def _nerf_mlp_kernel(
     # inputs
     points_ref,
     dirs_ref,
-    freqs_xyz_ref,
-    freqs_dir_ref,
+    sel_xyz_ref,
+    ftile_xyz_ref,
+    sel_dir_ref,
+    ftile_dir_ref,
     *refs,
     # static
     n_layers: int,
@@ -81,10 +105,7 @@ def _nerf_mlp_kernel(
     points = points_ref[:]
     dirs = dirs_ref[:]
 
-    fx = freqs_xyz_ref[:]  # (1, F_xyz)
-    fd = freqs_dir_ref[:]  # (1, F_dir)
-
-    embeds = _embed_in_kernel(points, fx, append_xyz).astype(compute_dtype)
+    embeds = _embed_in_kernel(points, sel_xyz_ref[:], ftile_xyz_ref[:], append_xyz).astype(compute_dtype)
 
     def matmul(x, w_ref, b_ref):
         return (
@@ -119,7 +140,7 @@ def _nerf_mlp_kernel(
     # direction embedding of normalized dirs
     norm = jnp.sqrt(jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-24))
     dirs_n = dirs / norm
-    dir_embeds = _embed_in_kernel(dirs_n, fd, append_dir).astype(compute_dtype)
+    dir_embeds = _embed_in_kernel(dirs_n, sel_dir_ref[:], ftile_dir_ref[:], append_dir).astype(compute_dtype)
 
     # first color layer: fused LinearWithRepeat (split weight)
     w_c0, b_c0 = take_pair(idx); idx += 1
@@ -168,7 +189,6 @@ def nerf_mlp_forward_pallas(
     if interpret is None:
         interpret = _default_interpret()
 
-    from yanerf_tpu.ops.harmonics import harmonic_frequencies
 
     *lead, n_pts, _ = points.shape
     n_total = int(np.prod(lead)) * n_pts
@@ -192,8 +212,8 @@ def nerf_mlp_forward_pallas(
     for layer in params["color_layer"]:
         weights += [layer["w"], layer["b"]]
 
-    freqs_xyz = jnp.asarray(harmonic_frequencies(model.n_harmonic_functions_xyz)).reshape(1, -1)
-    freqs_dir = jnp.asarray(harmonic_frequencies(model.n_harmonic_functions_dir)).reshape(1, -1)
+    sel_xyz, ftile_xyz = embedding_constants(model.n_harmonic_functions_xyz)
+    sel_dir, ftile_dir = embedding_constants(model.n_harmonic_functions_dir)
 
     kernel = functools.partial(
         _nerf_mlp_kernel,
@@ -211,8 +231,10 @@ def nerf_mlp_forward_pallas(
     in_specs = [
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),  # points
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),  # dirs
-        pl.BlockSpec(freqs_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(freqs_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(sel_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ftile_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(sel_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(ftile_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     # weights: full arrays, grid-invariant (bind ndim now — late closure!)
     for w in weights:
@@ -244,7 +266,7 @@ def nerf_mlp_forward_pallas(
         # tiles >= 4096 — raise it so large tiles amortize per-matmul overhead.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes) if not interpret else None,
         interpret=interpret,
-    )(flat_points, flat_dirs, freqs_xyz, freqs_dir, *weights)
+    )(flat_points, flat_dirs, sel_xyz, ftile_xyz, sel_dir, ftile_dir, *weights)
 
     out = out[:n_total]
     densities = out[:, :1].reshape(*lead, n_pts, 1)
