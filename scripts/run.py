@@ -198,6 +198,12 @@ def main(args, config):
             datasets, samplers, config.runner.batch_size_list, config.runner.num_workers_list, config.datasets
         )
     ]
+    if config.runner.get("cache_dataset_on_device", False):
+        from yanerf_tpu.datasets import DeviceCachedLoader
+
+        logger.info("Caching datasets on device (zero per-step host transfers).")
+        dataloaders = [DeviceCachedLoader(loader) for loader in dataloaders]
+
     for i, loader in enumerate(dataloaders):
         logger.info(f"Data: dataset No.{i}: {len(loader.dataset)} items, {len(loader)} batches")
         if len(loader) == 0:

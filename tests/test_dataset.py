@@ -177,3 +177,37 @@ def test_llff_path_zflat(llff_root):
     # z-flat spiral: half the views, single rotation, zero z-radius
     assert ds.render_poses.shape[0] == 60
     assert np.isfinite(ds.render_poses).all()
+
+
+def test_device_cached_loader_matches_host_loader(blender_root):
+    from yanerf_tpu.datasets import DeviceCachedLoader
+
+    ds = BlenderDataset(str(blender_root), "train")
+    host = create_loader(ds, create_sampler(ds, shuffle=True, seed=3), batch_size=2, num_workers=0, is_train=True)
+    cached = DeviceCachedLoader(
+        create_loader(ds, create_sampler(ds, shuffle=True, seed=3), batch_size=2, num_workers=0, is_train=True)
+    )
+    host_batches = list(host)
+    cached_batches = list(cached)
+    assert len(host_batches) == len(cached_batches) == len(cached)
+    for hb, cb in zip(host_batches, cached_batches):
+        for hf, cf in zip(hb, cb):
+            np.testing.assert_allclose(np.asarray(cf), np.asarray(hf), atol=1e-7)
+    # second epoch reshuffles identically to the host loader
+    host.sampler.set_epoch(1)
+    cached.sampler.set_epoch(1)
+    for hb, cb in zip(host, cached):
+        np.testing.assert_allclose(np.asarray(cb[0]), np.asarray(hb[0]), atol=1e-7)
+
+
+def test_device_cached_loader_size_fallback(blender_root):
+    from yanerf_tpu.datasets import DeviceCachedLoader
+
+    ds = BlenderDataset(str(blender_root), "train")
+    cached = DeviceCachedLoader(
+        create_loader(ds, create_sampler(ds, shuffle=False), batch_size=2, num_workers=0, is_train=False),
+        max_bytes=1,  # force fallback to the host loader
+    )
+    batches = list(cached)
+    assert len(batches) == 2
+    assert isinstance(batches[0][0], np.ndarray)  # host path yields numpy

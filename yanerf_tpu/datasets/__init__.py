@@ -1,7 +1,15 @@
 from .blender import BlenderDataset, BlenderDatasetWrapper
 from .builder import DATASETS
 from .llff import LLFFDataset, LLFFDatasetWrapper
-from .loader import DataLoader, ShardedEpochSampler, Subset, create_loader, create_sampler, stack_batch
+from .loader import (
+    DataLoader,
+    DeviceCachedLoader,
+    ShardedEpochSampler,
+    Subset,
+    create_loader,
+    create_sampler,
+    stack_batch,
+)
 from .utils import load_image
 
 __all__ = [
@@ -11,6 +19,7 @@ __all__ = [
     "LLFFDataset",
     "LLFFDatasetWrapper",
     "DataLoader",
+    "DeviceCachedLoader",
     "ShardedEpochSampler",
     "Subset",
     "create_loader",

@@ -223,3 +223,72 @@ class Subset:
 
     def __len__(self) -> int:
         return len(self.indices)
+
+
+class DeviceCachedLoader:
+    """Device-resident dataset cache: batches become on-device gathers.
+
+    NeRF datasets are small (lego: 100 x 800x800x3 f32 = 768 MB) while the
+    training loop touches one image per step — uploading it host->device
+    every iteration wastes PCIe/ICI bandwidth and serializes the step. This
+    wrapper loads + stacks the whole dataset ONCE, commits it to device, and
+    yields per-batch views via device-side indexing (a cheap gather), so the
+    steady-state loop does zero host transfers.
+
+    Falls back transparently (acts like the wrapped loader) when the
+    estimated cache size exceeds ``max_bytes``.
+    """
+
+    def __init__(self, loader: DataLoader, max_bytes: int = 4 << 30):
+        self.inner = loader
+        self.dataset = loader.dataset
+        self.sampler = loader.sampler
+        self.batch_size = loader.batch_size
+        self.drop_last = loader.drop_last
+        self.max_bytes = max_bytes
+        self._arrays = None
+        self._fits = None
+
+    @property
+    def data_wrapper(self):
+        return self.inner.data_wrapper
+
+    def __len__(self):
+        return len(self.inner)
+
+    def _ensure_cache(self) -> bool:
+        if self._fits is not None:
+            return self._fits
+        probe = self.dataset[0]
+        item_bytes = sum(np.asarray(f).nbytes for f in probe if isinstance(f, np.ndarray))
+        if item_bytes * len(self.dataset) > self.max_bytes:
+            self._fits = False
+            return False
+        import jax
+
+        items = [self.dataset[i] for i in range(len(self.dataset))]
+        stacked = stack_batch(items)
+        self._arrays = tuple(
+            jax.device_put(f) if isinstance(f, np.ndarray) else f for f in stacked
+        )
+        self._fits = True
+        return True
+
+    def __iter__(self):
+        if not self._ensure_cache():
+            yield from self.inner
+            return
+        import jax.numpy as jnp
+
+        if self.sampler is not None:
+            indices = self.sampler.indices()
+        else:
+            indices = np.arange(len(self.dataset))
+        for start in range(0, len(indices), self.batch_size):
+            chunk = indices[start : start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            idx = jnp.asarray(chunk)
+            yield tuple(
+                f[idx] if hasattr(f, "shape") else f for f in self._arrays
+            )
