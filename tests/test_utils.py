@@ -83,6 +83,17 @@ def test_config_delete_key(tmp_path):
     assert dict(cfg.node) == {"fresh": 3}
 
 
+def test_merge_into_does_not_mutate_overrides():
+    from yanerf_tpu.utils.config import merge_into
+
+    base = {"node": {"keep": 1, "old": 2}}
+    overrides = {"node": {"_delete_": True, "fresh": 3}}
+    first = merge_into(overrides, base)
+    second = merge_into(overrides, base)
+    assert first == second == {"node": {"fresh": 3}}
+    assert overrides == {"node": {"_delete_": True, "fresh": 3}}
+
+
 def test_config_file_dirname_substitution(tmp_path):
     sub = tmp_path / "sub"
     sub.mkdir()

@@ -253,8 +253,8 @@ def merge_into(overrides: dict, base: dict) -> dict:
     base = copy.deepcopy(base)
     for key, value in overrides.items():
         if isinstance(value, dict):
-            if value.pop(DELETE_KEY, False) if DELETE_KEY in value else False:
-                base[key] = copy.deepcopy(value)
+            if value.get(DELETE_KEY, False):
+                base[key] = {k: copy.deepcopy(v) for k, v in value.items() if k != DELETE_KEY}
             elif key in base and isinstance(base[key], dict):
                 base[key] = merge_into(value, base[key])
             else:
