@@ -318,3 +318,37 @@ def test_emission_absorption_blend_output():
     # blend_output: features = opacity * sum(w*c) + (1-op)*bg
     expected = np.asarray(op) * np.asarray(w).sum() * 1.0
     assert np.allclose(np.asarray(soft)[0, 0], expected[0, 0], atol=1e-5)
+
+
+def test_ndc_ray_bundle_matches_perspective_projection():
+    """A point at parameter t on the world ray must land at the NDC-projected
+    location at parameter t' = 1 - oz/(oz + t*dz) on the NDC ray."""
+    W, H, near = 8, 6, 1.0
+    focal = jnp.asarray([[5.0]])
+    poses = jnp.eye(4)[None, :3, :4]  # camera at origin, +z forward
+    grid = jnp.broadcast_to(ops.get_xy_grid(H, W), (1, H, W, 2))
+    bundle = ops.xy_to_ray_bundle(poses, W, H, focal, grid, 0.0, 1.0, 4)
+    ndc = ops.ndc_ray_bundle(bundle, W, H, focal, near=near)
+
+    # Origins advanced to the near plane, then projected.
+    o_adv = np.asarray(bundle.origins) + (
+        (near - np.asarray(bundle.origins)[..., 2:3]) / np.asarray(bundle.directions)[..., 2:3]
+    ) * np.asarray(bundle.directions)
+    d = np.asarray(bundle.directions)
+
+    for t_prime in (0.0, 0.3, 0.8):
+        # invert t' = 1 - oz/(oz + t*dz)
+        t = o_adv[..., 2] * t_prime / ((1.0 - t_prime) * d[..., 2])
+        p = o_adv + t[..., None] * d
+        fx, fy = 2 * 5.0 / W, 2 * 5.0 / H
+        expected = np.stack(
+            [fx * p[..., 0] / p[..., 2], fy * p[..., 1] / p[..., 2], 1 - 2 * near / p[..., 2]],
+            axis=-1,
+        )
+        got = np.asarray(ndc.origins) + t_prime * np.asarray(ndc.directions)
+        assert np.allclose(got, expected, atol=1e-5), (t_prime, np.abs(got - expected).max())
+
+    # t' -> 1 converges to the vanishing point (d_x/d_z scaled), i.e. finite.
+    at_inf = np.asarray(ndc.origins) + 1.0 * np.asarray(ndc.directions)
+    assert np.isfinite(at_inf).all()
+    assert np.allclose(at_inf[..., 2], 1.0, atol=1e-6)

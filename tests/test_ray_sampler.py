@@ -145,3 +145,28 @@ def test_gather_equivalence_with_sample_grid():
         for r in range(4):
             x, y = xys[b, r, 0]
             assert np.allclose(gathered[b, r, 0], np.asarray(image)[b, y, x], atol=1e-6)
+
+
+def test_use_ndc_forces_unit_depth_range_and_transforms_rays():
+    from yanerf_tpu.pipelines.ray_sampler import RaySampler
+    from yanerf_tpu.ops.structures import EvaluationMode
+
+    sampler = RaySampler(
+        image_width=10,
+        image_height=6,
+        min_depth=2.0,
+        max_depth=6.0,
+        n_pts_per_ray_evaluation=5,
+        use_ndc=True,
+        ndc_near=1.0,
+    )
+    poses = jnp.eye(4)[None]
+    poses = poses.at[0, 2, 3].set(-2.0)  # camera 2 units behind the near plane
+    focals = jnp.asarray([[8.0]])
+    bundle = sampler(None, poses, focals, EvaluationMode.EVALUATION)
+    lengths = np.asarray(bundle.lengths)
+    # NDC parameter spans [0, 1] regardless of the metric min/max depth.
+    assert np.allclose(lengths.min(), 0.0) and np.allclose(lengths.max(), 1.0)
+    # NDC origins sit on the z=-1 plane of the NDC cube (the near plane).
+    assert np.allclose(np.asarray(bundle.origins)[..., 2], -1.0, atol=1e-5)
+    assert np.isfinite(np.asarray(bundle.directions)).all()

@@ -186,3 +186,16 @@ def test_print_log_variants(capsys):
     assert "to stdout" in capsys.readouterr().out
     print_log("silenced", logger="silent")
     assert capsys.readouterr().out == ""
+
+
+def test_fileio_backend_registry_complete():
+    import pytest
+
+    from yanerf_tpu.utils.fileio.backends import FileClient
+
+    # Full reference storage matrix (ref file_client.py:47-710).
+    for name in ("disk", "http", "lmdb", "memcached", "petrel", "ceph"):
+        assert name in FileClient._backends
+    # Optional backends fail with a clear ImportError, not at dispatch time.
+    with pytest.raises(ImportError, match="ceph"):
+        FileClient("ceph")

@@ -14,6 +14,7 @@ from .rays import (
     get_min_max_depth_bounds,
     get_xy_grid,
     jiggle_within_stratas,
+    ndc_ray_bundle,
     ray_bundle_to_ray_points,
     xy_to_ray_bundle,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "get_min_max_depth_bounds",
     "get_xy_grid",
     "jiggle_within_stratas",
+    "ndc_ray_bundle",
     "ray_bundle_to_ray_points",
     "xy_to_ray_bundle",
     "sample_pdf",

@@ -119,6 +119,65 @@ def xy_to_ray_bundle(
     return RayBundle(origins=origins, directions=directions, lengths=rays_zs, xys=xy_grid)
 
 
+def ndc_ray_bundle(
+    bundle: RayBundle,
+    image_width: int,
+    image_height: int,
+    focal_lengths: jax.Array,
+    near: float = 1.0,
+) -> RayBundle:
+    """Re-parametrize world-space rays into normalized device coordinates.
+
+    The classic forward-facing NeRF NDC warp (Mildenhall et al. 2020,
+    appendix C), adapted to this repo's +z-forward camera convention. Rays
+    are first advanced to the ``z = near`` plane, then mapped so that the
+    ray parameter ``t' in [0, 1]`` sweeps the frustum from the near plane to
+    infinity:
+
+        o' = (f_x * ox/oz, f_y * oy/oz, 1 - 2*near/oz)
+        d' = (f_x * (dx/dz - ox/oz), f_y * (dy/dz - oy/oz), 2*near/oz)
+
+    with ``f_x = 2*focal/W``, ``f_y = 2*focal/H``. The point at parameter
+    ``t`` on the world ray lands at ``t' = 1 - oz/(oz + t*dz)`` on the NDC
+    ray, so sampling lengths uniformly in [0, 1] is uniform in disparity.
+
+    The reference framework has NO NDC path (its LLFF loader returns metric
+    per-image depth bounds, llff_dataset.py:52-54); this is the opt-in
+    parametrization BASELINE.json names for forward-facing scenes.
+
+    Args:
+        bundle: world-space rays; ``lengths`` are expected in [0, 1] and are
+            passed through unchanged.
+        image_width/image_height: sensor size in pixels.
+        focal_lengths: ``(B,)`` or ``(B, 1)`` focal lengths in pixels.
+        near: world-space distance of the near plane (LLFF convention: 1.0
+            after bd_factor rescaling).
+
+    Returns:
+        A :class:`RayBundle` with NDC origins/directions; directions remain
+        unnormalized (the raymarcher's delta scaling uses their norm).
+    """
+    origins, directions = bundle.origins, bundle.directions
+    expand = (origins.shape[0],) + (1,) * (origins.ndim - 2)
+    focal = jnp.reshape(focal_lengths, expand).astype(origins.dtype)
+
+    # Advance origins to the near plane (t = (near - oz) / dz).
+    t_near = (near - origins[..., 2]) / directions[..., 2]
+    origins = origins + t_near[..., None] * directions
+
+    ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
+    dx, dy, dz = directions[..., 0], directions[..., 1], directions[..., 2]
+    fx = 2.0 * focal / float(image_width)
+    fy = 2.0 * focal / float(image_height)
+
+    o_ndc = jnp.stack([fx * ox / oz, fy * oy / oz, 1.0 - 2.0 * near / oz], axis=-1)
+    d_ndc = jnp.stack(
+        [fx * (dx / dz - ox / oz), fy * (dy / dz - oy / oz), 2.0 * near / oz],
+        axis=-1,
+    )
+    return RayBundle(origins=o_ndc, directions=d_ndc, lengths=bundle.lengths, xys=bundle.xys)
+
+
 def ray_bundle_to_ray_points(
     rays_origins: jax.Array,
     rays_directions: jax.Array,

@@ -24,7 +24,7 @@ from typing import List, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from yanerf_tpu.ops.rays import get_min_max_depth_bounds, get_xy_grid, xy_to_ray_bundle
+from yanerf_tpu.ops.rays import get_min_max_depth_bounds, get_xy_grid, ndc_ray_bundle, xy_to_ray_bundle
 from yanerf_tpu.ops.sampling import weighted_sample_without_replacement
 from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RenderSamplingMode
 
@@ -44,6 +44,7 @@ class _RaySampler:
         max_depth: float,
         n_rays_per_image: Optional[int] = None,
         stratified_sampling: bool = False,
+        approx_top_k: bool = True,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -52,6 +53,7 @@ class _RaySampler:
         self.max_depth = max_depth
         self.n_rays_per_image = n_rays_per_image
         self.stratified_sampling = stratified_sampling
+        self.approx_top_k = approx_top_k
 
     def __call__(
         self,
@@ -121,12 +123,16 @@ class _RaySampler:
                     )
 
             if weights.ndim == 2:
-                rays_idx = weighted_sample_without_replacement(rng, weights, int(num_rays))
+                rays_idx = weighted_sample_without_replacement(
+                    rng, weights, int(num_rays), approx=self.approx_top_k
+                )
             else:
                 layer_keys = jax.random.split(rng, weights.shape[1])
                 rays_idx = jnp.concatenate(
                     [
-                        weighted_sample_without_replacement(layer_keys[layer], weights[:, layer], int(n))
+                        weighted_sample_without_replacement(
+                            layer_keys[layer], weights[:, layer], int(n), approx=self.approx_top_k
+                        )
                         for layer, n in enumerate(num_rays)
                     ],
                     axis=-1,
@@ -170,11 +176,19 @@ class RaySampler:
         max_depth: float = 8.0,
         stratified_point_sampling_training: bool = True,
         stratified_point_sampling_evaluation: bool = False,
+        approx_top_k: bool = True,
+        use_ndc: bool = False,
+        ndc_near: float = 1.0,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
         self.scene_center = tuple(scene_center)
         self.scene_extent = scene_extent
+        # NDC re-parametrization for forward-facing scenes (ops/rays.py:
+        # ndc_ray_bundle). When on, depth sampling is forced to [0, 1] (the
+        # NDC ray parameter) and per-image metric bounds are ignored.
+        self.use_ndc = use_ndc
+        self.ndc_near = ndc_near
         self._sampling_mode = {
             EvaluationMode.TRAINING: RenderSamplingMode(sampling_mode_training),
             EvaluationMode.EVALUATION: RenderSamplingMode(sampling_mode_evaluation),
@@ -192,6 +206,7 @@ class RaySampler:
                     else None
                 ),
                 stratified_sampling=stratified,
+                approx_top_k=approx_top_k,
             )
             for mode, n_pts, stratified in (
                 (EvaluationMode.TRAINING, n_pts_per_ray_training, stratified_point_sampling_training),
@@ -226,12 +241,16 @@ class RaySampler:
                 mask, (mask.shape[0], mask.shape[1], target_h, target_w), method="nearest"
             )[:, 0]
 
-        if min_depth is None and max_depth is None and self.scene_extent > 0.0:
+        if self.use_ndc:
+            # The NDC ray parameter spans [0, 1] from the near plane to
+            # infinity; metric depth bounds do not apply.
+            min_depth, max_depth = 0.0, 1.0
+        elif min_depth is None and max_depth is None and self.scene_extent > 0.0:
             min_depth, max_depth = get_min_max_depth_bounds(
                 poses, jnp.asarray(self.scene_center, dtype=poses.dtype), self.scene_extent
             )
 
-        return self._raysamplers[evaluation_mode](
+        bundle = self._raysamplers[evaluation_mode](
             rng,
             poses,
             focal_lengths,
@@ -243,3 +262,8 @@ class RaySampler:
             image_height=image_height,
             image_width=image_width,
         )
+        if self.use_ndc:
+            bundle = ndc_ray_bundle(
+                bundle, self.image_width, self.image_height, focal_lengths, near=self.ndc_near
+            )
+        return bundle

@@ -118,6 +118,37 @@ class PetrelBackend(BaseStorageBackend):
         return self.get(filepath).decode(encoding)
 
 
+class CephBackend(BaseStorageBackend):
+    """Ceph S3 storage (requires the optional ``ceph`` package).
+
+    Completes the reference's storage matrix (ref
+    yanerf/utils/fileio/file_client.py:47-76). ``path_mapping`` rewrites
+    path prefixes before the fetch, matching the reference semantics.
+    """
+
+    def __init__(self, path_mapping: Optional[Dict[str, str]] = None):
+        try:
+            import ceph
+        except ImportError as e:
+            raise ImportError("Please install ceph to enable CephBackend.") from e
+        self._client = ceph.S3Client()
+        if path_mapping is not None and not isinstance(path_mapping, dict):
+            raise TypeError(f"path_mapping must be a dict or None, got {type(path_mapping)}")
+        self.path_mapping = path_mapping
+
+    def _map(self, filepath: str) -> str:
+        if self.path_mapping is not None:
+            for src, dst in self.path_mapping.items():
+                filepath = filepath.replace(src, dst)
+        return filepath
+
+    def get(self, filepath: str) -> bytes:
+        return memoryview(self._client.Get(self._map(str(filepath)))).tobytes()
+
+    def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
+        return self.get(filepath).decode(encoding)
+
+
 class FileClient:
     """Dispatches file access to a storage backend chosen by name or prefix."""
 
@@ -127,6 +158,7 @@ class FileClient:
         "lmdb": LmdbBackend,
         "memcached": MemcachedBackend,
         "petrel": PetrelBackend,
+        "ceph": CephBackend,
     }
     _prefix_to_backend: Dict[str, str] = {
         "http": "http",
