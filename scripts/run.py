@@ -128,6 +128,7 @@ def main(args, config):
     from yanerf_tpu.pipelines import PIPELINES
     from yanerf_tpu.runners import (
         HOOKS,
+        PreemptionGuard,
         RunType,
         create_lr_schedule,
         create_optimizer,
@@ -139,6 +140,7 @@ def main(args, config):
         make_train_step,
         save_checkpoint,
         train_one_epoch,
+        wait_for_async_saves,
     )
     from yanerf_tpu.utils.logging import get_logger
     from yanerf_tpu.utils.timer import Timer
@@ -247,6 +249,10 @@ def main(args, config):
     eval_step = make_eval_step(pipeline, mesh=mesh)
 
     if not args.test_only:
+        # Preemption safety (beyond the reference, which has none): SIGTERM /
+        # SIGINT request a graceful stop; the loop drains the current step and
+        # an emergency resumable checkpoint is written before exiting cleanly.
+        guard = PreemptionGuard().install()
         state = train(
             config.runner,
             logger,
@@ -266,8 +272,16 @@ def main(args, config):
             RunType,
             is_main_process,
             barrier,
+            preemption_guard=guard,
         )
+        guard.uninstall()
+        if guard.preempted:
+            wait_for_async_saves()
+            logger.info("Preempted: resumable checkpoint saved; skipping final test.")
+            barrier("preempted")
+            return
 
+        wait_for_async_saves()
         if config.runner.get("eval_last_epoch_model", True) is False:
             best = find_best_checkpoint(config.runner.output_dir)
             if best is not None:
@@ -301,6 +315,7 @@ def train(
     RunType,
     is_main_process,
     barrier,
+    preemption_guard=None,
 ):
     logger.info(f"Start Training. Epoch range: {start_epoch} -> {runner_config['num_epochs']}")
     monitor_type = MonitorMetricType.HIGH
@@ -314,7 +329,19 @@ def train(
         state, train_stats = train_one_epoch(
             RunType.TRAIN, runner_config, epoch, state, train_loader, train_step, base_rng,
             train_step_vis=train_step_vis, mesh=mesh, lr_schedule=lr_schedule,
+            preemption_guard=preemption_guard,
         )
+        if preemption_guard is not None and preemption_guard.preempted:
+            # Emergency resumable checkpoint: saved as epoch-1 so resume
+            # re-enters the interrupted epoch with the mid-epoch TrainState
+            # (params/opt_state/step all continue exactly).
+            if is_main_process():
+                path = save_checkpoint(
+                    runner_config["output_dir"], state, epoch=epoch - 1, name="ckpts_preempt"
+                )
+                logger.info(f"Preemption: saved emergency checkpoint to {path} (mid-epoch {epoch})")
+            barrier("preempt-save")
+            return state
         if is_main_process():
             with open(osp.join(runner_config["output_dir"], "train_stats.json"), "a") as f:
                 f.write(json.dumps({"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()}}) + "\n")
@@ -336,12 +363,12 @@ def train(
                 elif compare_metric(best_metric, current_metric):
                     logger.info(f"Monitor Metric: {best_metric} -> {current_metric}.")
                     best_metric = current_metric
-                    save_checkpoint(runner_config["output_dir"], state, epoch=-1)
+                    save_checkpoint(runner_config["output_dir"], state, epoch=-1, async_save=True)
                     logger.info("Save Best Model to Epoch: -1")
             barrier("val")
 
         if is_main_process() and (epoch + 1) % runner_config["save_per_epoch"] == 0:
-            save_checkpoint(runner_config["output_dir"], state, epoch=epoch)
+            save_checkpoint(runner_config["output_dir"], state, epoch=epoch, async_save=True)
             logger.info(f"Save Model at Epoch: {epoch}")
         barrier("epoch")
 

@@ -1,10 +1,12 @@
 from .apis import eval_one_epoch, inference, make_eval_step, make_train_step, prepare_batch, train_one_epoch
 from .checkpoints import (
+    PreemptionGuard,
     ckpt_name,
     find_best_checkpoint,
     import_torch_checkpoint,
     load_checkpoint,
     save_checkpoint,
+    wait_for_async_saves,
 )
 from .hooks import HOOKS, EvalDataHook, EvalOutputsHook, TrainDataHook, TrainOutputsHook
 from .optim import TrainState, create_optimizer, create_train_state, path_to_dotted
@@ -21,6 +23,8 @@ __all__ = [
     "train_one_epoch",
     "ckpt_name",
     "find_best_checkpoint",
+    "PreemptionGuard",
+    "wait_for_async_saves",
     "import_torch_checkpoint",
     "load_checkpoint",
     "save_checkpoint",

@@ -151,6 +151,7 @@ def train_one_epoch(
     train_step_vis: Optional[Callable] = None,
     mesh=None,
     lr_schedule: Optional[Callable] = None,
+    preemption_guard=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     logger = _get_logger(config)
     passed_iter = epoch * len(dataloader)
@@ -172,6 +173,9 @@ def train_one_epoch(
     timer = Timer()
     preds: Dict[str, Any] = {}
     for i, data in enumerate(dataloader):
+        if preemption_guard is not None and preemption_guard.preempted:
+            logger.info(f"{header}: preemption requested, stopping at iter {passed_iter}")
+            break
         times = {}
         batch = prepare_batch(data, dataloader.data_wrapper, mesh)
         for hook in hooks:

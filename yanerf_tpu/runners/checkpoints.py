@@ -15,6 +15,8 @@ weights into this framework's param pytree for parity evaluation.
 from __future__ import annotations
 
 import re
+import signal
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 
@@ -24,23 +26,103 @@ import orbax.checkpoint as ocp
 
 from yanerf_tpu.runners.optim import TrainState
 
+_ASYNC_CHECKPOINTER: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CHECKPOINTER
+    if _ASYNC_CHECKPOINTER is None:
+        _ASYNC_CHECKPOINTER = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CHECKPOINTER
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async checkpoint save has committed.
+
+    Must be called before reading a checkpoint that may still be writing
+    (best-model reload) and before process exit.
+    """
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
+
 
 def ckpt_name(epoch: int) -> str:
     return f"ckpts_{epoch:04d}"
 
 
-def save_checkpoint(output_dir: Union[str, Path], state: TrainState, epoch: int) -> Path:
-    """Save params/opt_state/epoch under ``{output_dir}/ckpts/ckpts_{epoch:04d}``."""
-    path = Path(output_dir).resolve() / "ckpts" / ckpt_name(epoch)
+def save_checkpoint(
+    output_dir: Union[str, Path],
+    state: TrainState,
+    epoch: int,
+    async_save: bool = False,
+    name: Optional[str] = None,
+) -> Path:
+    """Save params/opt_state/epoch under ``{output_dir}/ckpts/ckpts_{epoch:04d}``.
+
+    With ``async_save`` the device->host fetch happens now but the disk
+    commit overlaps with subsequent training steps (orbax AsyncCheckpointer);
+    call :func:`wait_for_async_saves` before reading it back or exiting.
+    ``name`` overrides the directory name (used by the emergency preemption
+    save, which must not collide with the best-model ``ckpts_-001``).
+    """
+    path = Path(output_dir).resolve() / "ckpts" / (name or ckpt_name(epoch))
     payload = {
         "params": jax.device_get(state.params),
         "opt_state": jax.device_get(state.opt_state),
         "step": int(jax.device_get(state.step)),
         "epoch": int(epoch),
     }
-    checkpointer = ocp.PyTreeCheckpointer()
-    checkpointer.save(path, payload, force=True)
+    if async_save:
+        checkpointer = _async_checkpointer()
+        checkpointer.save(path, payload, force=True)
+    else:
+        # A sync save may target a path an async save is still writing (e.g.
+        # the final epoch coincides with a periodic save); force=True would
+        # delete its tmp dir mid-write. Drain in-flight saves first.
+        wait_for_async_saves()
+        checkpointer = ocp.PyTreeCheckpointer()
+        checkpointer.save(path, payload, force=True)
     return path
+
+
+class PreemptionGuard:
+    """Preemption-safe training (the reference has no fault tolerance).
+
+    Installing the guard makes SIGTERM/SIGINT *request* a stop instead of
+    killing the process: the handler only sets a flag (signal-safe), the
+    train loop polls :attr:`preempted` at iteration boundaries, drains, and
+    the runner saves a resumable emergency checkpoint before exiting
+    cleanly. Restore the previous handlers with :meth:`uninstall`.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)) -> None:
+        self._event = threading.Event()
+        self._signals = tuple(signals)
+        self._previous: Dict[int, Any] = {}
+        self._installed = False
+
+    def install(self) -> "PreemptionGuard":
+        if threading.current_thread() is not threading.main_thread():
+            return self  # signal handlers can only be installed on the main thread
+        for sig in self._signals:
+            self._previous[sig] = signal.signal(sig, self._handle)
+        self._installed = True
+        return self
+
+    def uninstall(self) -> None:
+        if not self._installed:
+            return
+        for sig, prev in self._previous.items():
+            signal.signal(sig, prev)
+        self._previous.clear()
+        self._installed = False
+
+    def _handle(self, signum, frame) -> None:
+        self._event.set()
+
+    @property
+    def preempted(self) -> bool:
+        return self._event.is_set()
 
 
 def load_checkpoint(path: Union[str, Path], state: Optional[TrainState] = None) -> Dict[str, Any]:
@@ -49,6 +131,7 @@ def load_checkpoint(path: Union[str, Path], state: Optional[TrainState] = None) 
     Returns ``{"state": TrainState, "epoch": int}``.
     """
     path = Path(path).resolve()
+    wait_for_async_saves()  # the target may still be committing
     checkpointer = ocp.PyTreeCheckpointer()
     if state is not None:
         import jax.numpy as jnp
