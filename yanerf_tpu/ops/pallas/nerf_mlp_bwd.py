@@ -13,6 +13,12 @@ HBM (~10 GB per step at N=10^6). This kernel eliminates that traffic:
 Weight-gradient outputs use constant index maps, so Pallas keeps them
 resident across grid steps; the first program zero-initializes them.
 
+All weights arrive lane-aligned (see nerf_mlp_kernel.padded_weights): the
+embedding buffers are 128-wide, so the skip-layer concat, every matmul and
+every row slice in here is tile-aligned. The padded embedding columns are
+zeros, so the corresponding dW rows are exactly zero and the caller slices
+gradients back to the true shapes losslessly.
+
 Input gradients (points/dirs) are returned as zeros: in every pipeline
 configuration eligible for this kernel (latent_dim == 0), ray geometry is a
 function of camera data, never of parameters, so those cotangent paths are
@@ -35,24 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nerf_mlp_kernel import (
     _default_interpret,
-    _embed_in_kernel,
+    _embed_padded,
     _round_up,
-    embedding_constants,
+    embedding_inputs,
     nerf_mlp_forward_pallas,
+    padded_weights,
 )
 
 BWD_TILE = 1024
-
-
-def _flatten_weights(model, params) -> list:
-    weights = []
-    for layer in params["xyz_encoder"]["mlp"]:
-        weights += [layer["w"], layer["b"]]
-    weights += [params["intermediate_linear"]["w"], params["intermediate_linear"]["b"]]
-    weights += [params["density_layer"]["w"], params["density_layer"]["b"]]
-    for layer in params["color_layer"]:
-        weights += [layer["w"], layer["b"]]
-    return weights
 
 
 def _unflatten_grads(model, params, flat) -> Dict[str, Any]:
@@ -72,15 +68,17 @@ def _nerf_mlp_bwd_kernel(
     points_ref,
     dirs_ref,
     g_ref,
-    sel_xyz_ref,
-    ftile_xyz_ref,
-    sel_dir_ref,
-    ftile_dir_ref,
+    proj_xyz_ref,
+    phase_xyz_ref,
+    mtrig_xyz_ref,
+    mid_xyz_ref,
+    proj_dir_ref,
+    phase_dir_ref,
+    mtrig_dir_ref,
+    mid_dir_ref,
     *refs,
     n_layers: int,
     input_skips: Tuple[int, ...],
-    append_xyz: bool,
-    append_dir: bool,
     n_extra_color: int,
     n_weights: int,
     compute_dtype,
@@ -124,7 +122,9 @@ def _nerf_mlp_bwd_kernel(
     dirs = dirs_ref[:]
 
     # ---- recompute forward, stashing per-layer inputs/outputs in VMEM -----
-    embeds = _embed_in_kernel(points, sel_xyz_ref[:], ftile_xyz_ref[:], append_xyz).astype(compute_dtype)
+    embeds = _embed_padded(points, proj_xyz_ref, phase_xyz_ref, mtrig_xyz_ref, mid_xyz_ref).astype(
+        compute_dtype
+    )
     layer_inputs = []
     layer_outputs = []
     y = embeds
@@ -133,6 +133,7 @@ def _nerf_mlp_bwd_kernel(
         w_ref, b_ref = w_pair(idx)
         idx += 1
         if li in input_skips and li > 0:
+            # 256 + 128 lanes: the concat is tile-aligned (no relayout)
             y = jnp.concatenate([y, embeds], axis=-1)
         layer_inputs.append(y)
         y = jax.nn.relu(mm(y, w_ref, b_ref)).astype(compute_dtype)
@@ -147,7 +148,9 @@ def _nerf_mlp_bwd_kernel(
     inter = mm(features, w_int, b_int).astype(compute_dtype)
 
     norm = jnp.sqrt(jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-24))
-    dir_embeds = _embed_in_kernel(dirs / norm, sel_dir_ref[:], ftile_dir_ref[:], append_dir).astype(compute_dtype)
+    dir_embeds = _embed_padded(
+        dirs / norm, proj_dir_ref, phase_dir_ref, mtrig_dir_ref, mid_dir_ref
+    ).astype(compute_dtype)
 
     c0_idx = idx
     w_c0, b_c0 = w_pair(idx); idx += 1
@@ -188,6 +191,7 @@ def _nerf_mlp_bwd_kernel(
     # relu mask of the first color layer's output
     act0 = extra_inputs[0] if n_extra_color > 0 else act
     gc = relu_mask(gc, act0)
+    # (T, 256) ++ (T, 128): lane-aligned concat
     acc_dw(c0_idx, jnp.concatenate([inter, dir_embeds], axis=-1), gc)
     g_inter = gmm_t(gc, w_c0[:h])
 
@@ -216,11 +220,11 @@ def nerf_mlp_backward_pallas(
     g_colors: jax.Array,
     tile: int = BWD_TILE,
     interpret: bool = None,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
 ) -> Dict[str, Any]:
     """Weight gradients of the fused forward given head cotangents."""
     if interpret is None:
         interpret = _default_interpret()
-
 
     *lead, n_pts, _ = points.shape
     n_total = int(np.prod(lead)) * n_pts
@@ -238,9 +242,8 @@ def nerf_mlp_backward_pallas(
         flat_dirs = jnp.pad(flat_dirs, ((0, pad), (0, 0)), constant_values=1.0)
         flat_g = jnp.pad(flat_g, ((0, pad), (0, 0)))  # zero cotangents: no grad contribution
 
-    weights = _flatten_weights(model, params)
-    sel_xyz, ftile_xyz = embedding_constants(model.n_harmonic_functions_xyz)
-    sel_dir, ftile_dir = embedding_constants(model.n_harmonic_functions_dir)
+    weights, orig_shapes = padded_weights(model, params)
+    embed_consts = embedding_inputs(model)
 
     compute_dtype = model.compute_dtype if model.compute_dtype != jnp.float32 else jnp.float32
 
@@ -248,8 +251,6 @@ def nerf_mlp_backward_pallas(
         _nerf_mlp_bwd_kernel,
         n_layers=model.n_layers,
         input_skips=tuple(model.input_skips),
-        append_xyz=model.harmonic_functions_xyz_append_intput,
-        append_dir=model.harmonic_functions_dir_append_intput,
         n_extra_color=model.n_extra_color_layers,
         n_weights=len(weights),
         compute_dtype=compute_dtype,
@@ -260,15 +261,13 @@ def nerf_mlp_backward_pallas(
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, 1 + model.color_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(sel_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(ftile_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(sel_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(ftile_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    for c in embed_consts:
+        in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: tuple([0] * _nd), memory_space=pltpu.VMEM))
 
-    # grad outputs: weights as-is, biases as (1, dim) rows
+    # grad outputs: padded weight shapes, biases as (1, dim) rows
     out_shapes = []
     out_specs = []
     for w in weights:
@@ -295,14 +294,18 @@ def nerf_mlp_backward_pallas(
             bytes_accessed=n_padded * (3 + 3 + 1 + model.color_dim) * 4,
             transcendentals=n_padded * (model.embedding_dim_xyz + model.embedding_dim_dir + 4),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024) if not interpret else None,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes) if not interpret else None,
         interpret=interpret,
-    )(flat_points, flat_dirs, flat_g, sel_xyz, ftile_xyz, sel_dir, ftile_dir, *weights)
+    )(flat_points, flat_dirs, flat_g, *embed_consts, *weights)
 
-    # biases back to (dim,)
+    # slice padded rows off and biases back to (dim,); padded embedding
+    # columns are zeros, so the sliced-off dW rows are exactly zero
     fixed = []
-    for w, g in zip(weights, grads_flat):
-        fixed.append(g if w.ndim == 2 else g[0])
+    for orig, g in zip(orig_shapes, grads_flat):
+        if len(orig) == 2:
+            fixed.append(g[: orig[0], : orig[1]])
+        else:
+            fixed.append(g[0, : orig[0]])
     return _unflatten_grads(model, params, fixed)
 
 

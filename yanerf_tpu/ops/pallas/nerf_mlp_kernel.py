@@ -2,8 +2,9 @@
 
 The hot op of the whole framework: evaluating the 8x256 skip-MLP (+ heads)
 over ~10^6 ray points per step. The XLA path round-trips (N, 256)
-activations through HBM between layers (~2 GB per forward at N=10^6); this
-kernel keeps an entire point tile's activations resident in VMEM:
+activations through HBM between layers (~8.6 GB per forward at N=10^6,
+which makes the XLA forward HBM-bound at ~12.7 ms); this kernel keeps an
+entire point tile's activations resident in VMEM:
 
     HBM -> VMEM:  one (TILE, 3) point tile + one (TILE, 3) direction tile
                   + the full weight set (~300 KB bf16, grid-invariant)
@@ -15,17 +16,26 @@ kernel keeps an entire point tile's activations resident in VMEM:
 i.e. ~25 MB of HBM traffic per 10^6 points instead of gigabytes — the
 forward becomes MXU-bound.
 
+Lane alignment (the round-2 perf fix): every odd-width tensor in the chain
+is padded to a multiple of 128 lanes host-side — the 63-wide xyz embedding
+and 27-wide dir embedding become 128-wide buffers, the skip/color weights
+get zero rows to match — so every matmul, concat and slice inside the
+kernel is tile-aligned and Mosaic never inserts relayouts. The embedding
+itself is computed into a single padded buffer with zero concatenates:
+``sin(x @ proj + phase) * m_trig + (x @ proj) * m_id`` where the constant
+``proj/phase/m_*`` encode the reference's frequency-major layout
+[sin(d0 f..), sin(d1 f..), .., cos(..), x, 0-pad] (cos(t) = sin(t + pi/2)).
+
 Weight layout matches ``models/nerf_mlp.py`` init exactly (including the
-harmonic frequency-major embedding layout and the fused LinearWithRepeat
-color weight), so the kernel is a drop-in for ``NeRFMLP.apply``'s inner
-compute; equivalence is tested against the jnp path in
-tests/test_pallas.py.
+fused LinearWithRepeat color weight), so the kernel is a drop-in for
+``NeRFMLP.apply``'s inner compute; equivalence is tested against the jnp
+path in tests/test_pallas.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,63 +44,129 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 2048
+LANES = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _embed_in_kernel(x, sel, freqs_tiled, append_input: bool):
-    """Harmonic embedding with the reference's frequency-major layout.
+def padded_embedding_constants(
+    n_harmonic: int,
+    append_input: bool,
+    omega_0: float = 1.0,
+    logspace: bool = True,
+    dims: int = 3,
+    pad_to: int = LANES,
+):
+    """Host-side (proj, phase, m_trig, m_id) for the in-kernel embedding.
 
-    x: (T, D); sel: (D, D*F) one-hot coordinate-selection matrix;
-    freqs_tiled: (1, D*F) frequencies repeated per coordinate. The
-    per-coordinate broadcast runs as one tiny MXU matmul followed by wide
-    VPU ops — per-coordinate column slicing starves the lanes and costs
-    ~10 ms/1M pts (measured), this formulation is ~free.
-    Output: (T, D*2F [+ D]) as [sin(d0 f0..), sin(d1 ..), cos(..), x].
+    ``embeds = sin(x @ proj + phase) * m_trig + (x @ proj) * m_id`` yields
+    the reference's frequency-major layout [sin blocks | cos blocks | x]
+    padded with zero columns to ``pad_to`` lanes. One matmul + one
+    transcendental sweep, no concatenates, no sub-lane slices.
     """
-    # Precision.HIGHEST: the default f32 MXU path decomposes into bf16
-    # passes; the resulting ~1e-3 relative error on x gets multiplied by
-    # frequencies up to 2^9 and wrecks the sin/cos phases. HIGHEST keeps the
-    # pass-through exact (the matmul is (T,3)x(3,D*F) — cost is negligible).
-    inner = (
-        jnp.dot(x, sel, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        * freqs_tiled
-    )
-    parts = [jnp.sin(inner), jnp.cos(inner)]
-    if append_input:
-        parts.append(x)
-    return jnp.concatenate(parts, axis=-1)
-
-
-def embedding_constants(n_harmonic: int, omega_0: float = 1.0, logspace: bool = True, dims: int = 3):
-    """Host-side (sel, freqs_tiled) inputs for :func:`_embed_in_kernel`."""
     from yanerf_tpu.ops.harmonics import harmonic_frequencies
 
-    freqs = harmonic_frequencies(n_harmonic, omega_0, logspace)
+    freqs = np.asarray(harmonic_frequencies(n_harmonic, omega_0, logspace), dtype=np.float32)
     n_f = len(freqs)
-    sel = np.zeros((dims, dims * n_f), dtype=np.float32)
+    base = dims * n_f
+    width = 2 * base + (dims if append_input else 0)
+    k_pad = _round_up(max(width, 1), pad_to)
+
+    proj = np.zeros((dims, k_pad), dtype=np.float32)
+    phase = np.zeros((1, k_pad), dtype=np.float32)
+    m_trig = np.zeros((1, k_pad), dtype=np.float32)
+    m_id = np.zeros((1, k_pad), dtype=np.float32)
     for d in range(dims):
-        sel[d, d * n_f : (d + 1) * n_f] = 1.0
-    freqs_tiled = np.tile(freqs, dims)[None, :]
-    return jnp.asarray(sel), jnp.asarray(freqs_tiled)
+        proj[d, d * n_f : (d + 1) * n_f] = freqs  # sin block
+        proj[d, base + d * n_f : base + (d + 1) * n_f] = freqs  # cos block
+    phase[0, base : 2 * base] = np.pi / 2.0  # cos(t) = sin(t + pi/2)
+    m_trig[0, : 2 * base] = 1.0
+    if append_input:
+        for d in range(dims):
+            proj[d, 2 * base + d] = 1.0
+        m_id[0, 2 * base : 2 * base + dims] = 1.0
+    return jnp.asarray(proj), jnp.asarray(phase), jnp.asarray(m_trig), jnp.asarray(m_id), width, k_pad
+
+
+def _embed_padded(x, proj_ref, phase_ref, mtrig_ref, mid_ref):
+    """Lane-aligned harmonic embedding; output (T, k_pad) f32.
+
+    Precision.HIGHEST on the projection: the default f32 MXU path decomposes
+    into bf16 passes; the resulting ~1e-3 relative error on x gets multiplied
+    by frequencies up to 2^9 and wrecks the sin/cos phases. HIGHEST keeps the
+    pass-through exact (the matmul is (T,3)x(3,k) — cost is negligible).
+    """
+    inner = jnp.dot(
+        x, proj_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.sin(inner + phase_ref[:]) * mtrig_ref[:] + inner * mid_ref[:]
+
+
+def pad_rows(w: jax.Array, rows: int) -> jax.Array:
+    """Zero-pad a (K, N) weight to (rows, N)."""
+    if w.shape[0] == rows:
+        return w
+    return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
+
+
+def padded_weights(model, params: Dict[str, Any]) -> Tuple[List[jax.Array], List[Tuple[int, ...]]]:
+    """Flatten weights in kernel order with lane-aligned K padding.
+
+    Layer 0 and skip layers consume the (padded) embedding; the first color
+    layer's LinearWithRepeat weight gets its dir-embedding rows padded. The
+    original shapes are returned so gradients can be sliced back.
+    """
+    k_xyz = _round_up(model.embedding_dim_xyz, LANES)
+    k_dir = _round_up(model.embedding_dim_dir, LANES)
+    h = model.n_hidden_neurons_xyz
+
+    weights: List[jax.Array] = []
+    orig_shapes: List[Tuple[int, ...]] = []
+
+    def push(w, padded=None):
+        orig_shapes.append(tuple(w.shape))
+        weights.append(w if padded is None else padded)
+
+    for li, layer in enumerate(params["xyz_encoder"]["mlp"]):
+        w = layer["w"]
+        if li == 0:
+            push(w, pad_rows(w, k_xyz))
+        elif li in model.input_skips:
+            # rows [0:h] consume y, rows [h:] consume the padded embedding
+            push(w, jnp.concatenate([w[:h], pad_rows(w[h:], k_xyz)], axis=0))
+        else:
+            push(w)
+        push(layer["b"])
+    push(params["intermediate_linear"]["w"]); push(params["intermediate_linear"]["b"])
+    push(params["density_layer"]["w"]); push(params["density_layer"]["b"])
+    for ci, layer in enumerate(params["color_layer"]):
+        w = layer["w"]
+        if ci == 0 and model.input_dir:
+            push(w, jnp.concatenate([w[:h], pad_rows(w[h:], k_dir)], axis=0))
+        else:
+            push(w)
+        push(layer["b"])
+    return weights, orig_shapes
 
 
 def _nerf_mlp_kernel(
     # inputs
     points_ref,
     dirs_ref,
-    sel_xyz_ref,
-    ftile_xyz_ref,
-    sel_dir_ref,
-    ftile_dir_ref,
+    proj_xyz_ref,
+    phase_xyz_ref,
+    mtrig_xyz_ref,
+    mid_xyz_ref,
+    proj_dir_ref,
+    phase_dir_ref,
+    mtrig_dir_ref,
+    mid_dir_ref,
     *refs,
     # static
     n_layers: int,
     input_skips: Tuple[int, ...],
-    append_xyz: bool,
-    append_dir: bool,
     n_extra_color: int,
     compute_dtype,
 ):
@@ -105,7 +181,9 @@ def _nerf_mlp_kernel(
     points = points_ref[:]
     dirs = dirs_ref[:]
 
-    embeds = _embed_in_kernel(points, sel_xyz_ref[:], ftile_xyz_ref[:], append_xyz).astype(compute_dtype)
+    embeds = _embed_padded(points, proj_xyz_ref, phase_xyz_ref, mtrig_xyz_ref, mid_xyz_ref).astype(
+        compute_dtype
+    )
 
     def matmul(x, w_ref, b_ref):
         return (
@@ -120,7 +198,8 @@ def _nerf_mlp_kernel(
         w_ref, b_ref = take_pair(idx)
         idx += 1
         if li in input_skips and li > 0:
-            # concat(y, embeds) @ W == y @ W[:H] + embeds @ W[H:]
+            # concat(y, embeds) @ W == y @ W[:H] + embeds @ W[H:] — both
+            # slices land on 128-lane boundaries (embeds is k-padded)
             h = y.shape[-1]
             acc = jnp.dot(y, w_ref[:h].astype(compute_dtype), preferred_element_type=jnp.float32)
             acc = acc + jnp.dot(embeds, w_ref[h:].astype(compute_dtype), preferred_element_type=jnp.float32)
@@ -140,7 +219,9 @@ def _nerf_mlp_kernel(
     # direction embedding of normalized dirs
     norm = jnp.sqrt(jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-24))
     dirs_n = dirs / norm
-    dir_embeds = _embed_in_kernel(dirs_n, sel_dir_ref[:], ftile_dir_ref[:], append_dir).astype(compute_dtype)
+    dir_embeds = _embed_padded(dirs_n, proj_dir_ref, phase_dir_ref, mtrig_dir_ref, mid_dir_ref).astype(
+        compute_dtype
+    )
 
     # first color layer: fused LinearWithRepeat (split weight)
     w_c0, b_c0 = take_pair(idx); idx += 1
@@ -162,6 +243,17 @@ def _nerf_mlp_kernel(
 def _default_interpret() -> bool:
     # run the kernel in interpreter mode off-TPU (CPU tests / debugging)
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def embedding_inputs(model):
+    """The 8 constant embedding operands (xyz then dir)."""
+    proj_x, phase_x, mtrig_x, mid_x, _, _ = padded_embedding_constants(
+        model.n_harmonic_functions_xyz, model.harmonic_functions_xyz_append_intput
+    )
+    proj_d, phase_d, mtrig_d, mid_d, _, _ = padded_embedding_constants(
+        model.n_harmonic_functions_dir, model.harmonic_functions_dir_append_intput
+    )
+    return [proj_x, phase_x, mtrig_x, mid_x, proj_d, phase_d, mtrig_d, mid_d]
 
 
 def nerf_mlp_forward_pallas(
@@ -189,7 +281,6 @@ def nerf_mlp_forward_pallas(
     if interpret is None:
         interpret = _default_interpret()
 
-
     *lead, n_pts, _ = points.shape
     n_total = int(np.prod(lead)) * n_pts
 
@@ -203,24 +294,13 @@ def nerf_mlp_forward_pallas(
 
     compute_dtype = model.compute_dtype if model.compute_dtype != jnp.float32 else jnp.float32
 
-    # flatten weights in deterministic kernel order
-    weights = []
-    for layer in params["xyz_encoder"]["mlp"]:
-        weights += [layer["w"], layer["b"]]
-    weights += [params["intermediate_linear"]["w"], params["intermediate_linear"]["b"]]
-    weights += [params["density_layer"]["w"], params["density_layer"]["b"]]
-    for layer in params["color_layer"]:
-        weights += [layer["w"], layer["b"]]
-
-    sel_xyz, ftile_xyz = embedding_constants(model.n_harmonic_functions_xyz)
-    sel_dir, ftile_dir = embedding_constants(model.n_harmonic_functions_dir)
+    weights, _ = padded_weights(model, params)
+    embed_consts = embedding_inputs(model)
 
     kernel = functools.partial(
         _nerf_mlp_kernel,
         n_layers=model.n_layers,
         input_skips=tuple(model.input_skips),
-        append_xyz=model.harmonic_functions_xyz_append_intput,
-        append_dir=model.harmonic_functions_dir_append_intput,
         n_extra_color=model.n_extra_color_layers,
         compute_dtype=compute_dtype,
     )
@@ -231,11 +311,9 @@ def nerf_mlp_forward_pallas(
     in_specs = [
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),  # points
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),  # dirs
-        pl.BlockSpec(sel_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(ftile_xyz.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(sel_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(ftile_dir.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
+    for c in embed_consts:
+        in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     # weights: full arrays, grid-invariant (bind ndim now — late closure!)
     for w in weights:
         in_specs.append(
@@ -266,7 +344,7 @@ def nerf_mlp_forward_pallas(
         # tiles >= 4096 — raise it so large tiles amortize per-matmul overhead.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes) if not interpret else None,
         interpret=interpret,
-    )(flat_points, flat_dirs, sel_xyz, ftile_xyz, sel_dir, ftile_dir, *weights)
+    )(flat_points, flat_dirs, *embed_consts, *weights)
 
     out = out[:n_total]
     densities = out[:, :1].reshape(*lead, n_pts, 1)

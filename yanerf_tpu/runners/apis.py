@@ -37,7 +37,7 @@ from yanerf_tpu.utils.timer import Timer
 from .hooks import EvalDataHook, EvalOutputsHook, TrainDataHook, TrainOutputsHook
 from .optim import TrainState
 from .stats import create_stats
-from .vis import RunType, vis_batch_img
+from .vis import AsyncVisWriter, RunType, vis_batch_img
 
 LOG_HEADER = "{}\tEpoch:\t[{}]"
 
@@ -251,6 +251,7 @@ def eval_one_epoch(
     timer = Timer()
     metric_stats: Dict[str, list] = defaultdict(list)
     preds: Dict[str, Any] = {}
+    vis_writer = AsyncVisWriter() if (save_image and config.get("output_dir")) else None
     for i, data in enumerate(dataloader):
         times = {}
         batch = prepare_batch(data, dataloader.data_wrapper)
@@ -282,10 +283,12 @@ def eval_one_epoch(
             )
             logger.info(f"{header}: {log_string}")
 
-        if save_image and config.get("output_dir"):
+        if vis_writer is not None:
             start_idx = (i * world_size + rank) * batch_size
             end_idx = min(len(dataloader.dataset), start_idx + batch_size)
-            vis_batch_img(
+            # async: the 7.7MB-per-frame device fetch + PNG write overlap
+            # with the next frame's render on the device
+            vis_writer.submit(
                 preds,
                 run_type,
                 config["output_dir"],
@@ -294,6 +297,9 @@ def eval_one_epoch(
                 "" if run_type == RunType.TEST else f"{epoch:05d}/",
             )
         timer.since_last_check()
+
+    if vis_writer is not None:
+        vis_writer.close()
 
     final_preds: Dict[str, Any] = dict(preds)
     for key, chunks in metric_stats.items():

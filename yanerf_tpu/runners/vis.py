@@ -68,3 +68,50 @@ def vis_batch_img(
         vis_dir = _vis_dir(str(output_dir), run_type.value, rendered_type, prefix)
         for batch_idx, file_idx in enumerate(range(output_start_idx, end_idx)):
             imageio.imwrite(vis_dir / template.format(file_idx), to_img(renders[batch_idx]))
+
+
+class AsyncVisWriter:
+    """Background visualization writer: overlaps the device->host fetch and
+    PNG encode/write of eval frames with the next frame's render.
+
+    The eval loop was strictly serial (render -> block -> fetch 7.7MB over
+    the device tunnel -> PNG write); at high eval rates the host IO becomes
+    the bottleneck. ``submit`` is cheap (it only snapshots the dict); the
+    worker thread performs the fetch + writes. ``close`` drains the queue
+    and re-raises the first worker error.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, max_pending: int = 4) -> None:
+        import queue
+        import threading
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._error = None
+        self._thread = threading.Thread(target=self._run, daemon=True, name="vis-writer")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is self._SENTINEL:
+                return
+            try:
+                args, kwargs = item
+                vis_batch_img(*args, **kwargs)
+            except Exception as e:  # surfaced on close()
+                if self._error is None:
+                    self._error = e
+
+    def submit(self, preds: Dict, *args, render_prefixes=("rendered_", "image_rgb_"), **kwargs) -> None:
+        # keep only the image-like entries so the queue doesn't pin the
+        # whole preds dict (params/aux) in memory while frames are pending
+        subset = {k: v for k, v in preds.items() if any(k.startswith(p) for p in render_prefixes)}
+        self._queue.put(((subset, *args), kwargs))
+
+    def close(self) -> None:
+        self._queue.put(self._SENTINEL)
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
