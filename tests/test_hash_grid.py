@@ -1,0 +1,177 @@
+"""HashGridNeRF (Instant-NGP-style) model family tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yanerf_tpu.models import MODELS, HashGridNeRF
+
+
+def _small_model(**kw):
+    cfg = dict(
+        type="HashGridNeRF",
+        n_levels=4,
+        table_size_log2=10,
+        n_features_per_level=2,
+        base_resolution=4,
+        max_resolution=32,
+        hidden_dim=16,
+        geo_feature_dim=7,
+        n_color_layers=1,
+        n_harmonic_functions_dir=2,
+        scene_bound=1.0,
+    )
+    cfg.update(kw)
+    return MODELS.build(cfg)
+
+
+def test_registry_and_output_contract():
+    model = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    origins = jnp.zeros((2, 5, 1, 3))
+    directions = jnp.ones((2, 5, 1, 3))
+    lengths = jnp.broadcast_to(jnp.linspace(0.1, 1.0, 6), (2, 5, 1, 6))
+    out = model.apply(params, origins, directions, lengths)
+    assert out["rays_densities"].shape == (2, 5, 1, 6, 1)
+    assert out["rays_features"].shape == (2, 5, 1, 6, 3)
+    assert np.isfinite(np.asarray(out["rays_densities"])).all()
+    colors = np.asarray(out["rays_features"])
+    assert (colors >= 0).all() and (colors <= 1).all()  # sigmoid head
+
+
+def test_dense_and_hashed_levels():
+    model = _small_model()
+    # coarse level 0 (res 4): dense 5^3 table; finest level must be hashed
+    assert model.level_table_sizes[0] == 5**3
+    assert model.level_table_sizes[-1] == 1 << 10
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["tables"][0].shape == (125, 2)
+    assert params["tables"][-1].shape == (1024, 2)
+
+
+def test_trilinear_interpolation_exact_on_linear_field():
+    """With table entries set to a linear function of the dense-grid corner
+    position, trilinear interpolation must reproduce the function exactly."""
+    model = _small_model(n_levels=1, base_resolution=4, max_resolution=4, scene_bound=1.0)
+    res = model.resolutions[0]
+    stride = res + 1
+    coords = np.stack(np.meshgrid(*[np.arange(stride)] * 3, indexing="ij"), axis=-1).reshape(-1, 3)
+    # f(corner) = 2*x + 3*y - z in grid units, in both feature channels
+    values = (2 * coords[:, 0] + 3 * coords[:, 1] - coords[:, 2]).astype(np.float32)
+    tables = [jnp.asarray(np.stack([values, values], axis=-1))]
+
+    pts01 = np.random.RandomState(0).uniform(0.05, 0.95, size=(50, 3)).astype(np.float32)
+    world = pts01 * 2.0 - 1.0  # invert the [0,1] normalization at bound=1
+    enc = np.asarray(model.encode(tables, jnp.asarray(world)))
+    scaled = pts01 * res
+    expected = 2 * scaled[:, 0] + 3 * scaled[:, 1] - scaled[:, 2]
+    np.testing.assert_allclose(enc[:, 0], expected, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(enc[:, 1], expected, rtol=1e-4, atol=1e-3)
+
+
+def test_encoding_gradients_flow_to_tables():
+    model = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.9, maxval=0.9)
+
+    def loss(tables):
+        return jnp.sum(model.encode(tables, pts) ** 2)
+
+    grads = jax.grad(loss)(params["tables"])
+    # at least the dense coarse level must receive nonzero gradient
+    assert float(jnp.abs(grads[0]).sum()) > 0
+
+
+def test_overfit_tiny_field():
+    """The full model must overfit a handful of (point, density) targets —
+    the analog of the runner convergence test, model-only."""
+    import optax
+
+    model = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    origins = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 1, 3), minval=-0.5, maxval=0.5)
+    directions = jnp.ones((1, 16, 1, 3))
+    lengths = jnp.zeros((1, 16, 1, 1))
+    target = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 1, 1, 3))
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply(p, origins, directions, lengths)
+            return jnp.mean((out["rays_features"] - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss0 = None
+    for i in range(200):
+        params, opt_state, loss = step(params, opt_state)
+        if loss0 is None:
+            loss0 = float(loss)
+    assert float(loss) < 0.1 * loss0, (loss0, float(loss))
+
+
+def test_pipeline_composition_with_hash_grid():
+    """HashGridNeRF drops into the standard pipeline via the registry."""
+    from yanerf_tpu.ops.structures import EvaluationMode
+    from yanerf_tpu.pipelines import PIPELINES
+
+    pipeline = PIPELINES.build(
+        dict(
+            type="NeRFPipeline",
+            chunk_size_grid=256,
+            num_passes=2,
+            output_rasterized_mc=False,
+            loss_weights={"loss_rgb_mse": 1.0, "loss_prev_stage_rgb_mse": 1.0},
+            model=dict(
+                type="HashGridNeRF",
+                n_levels=4,
+                table_size_log2=10,
+                base_resolution=4,
+                max_resolution=32,
+                hidden_dim=16,
+                geo_feature_dim=7,
+                n_color_layers=1,
+                n_harmonic_functions_dir=2,
+                scene_bound=4.0,
+            ),
+            ray_sampler=dict(
+                type="RaySampler",
+                image_height=6,
+                image_width=6,
+                min_depth=1.0,
+                max_depth=3.0,
+                n_pts_per_ray_training=4,
+                n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=8,
+            ),
+            renderer=dict(
+                type="MultipassEmissionAbsorpsionRenderer",
+                n_pts_per_ray_fine_training=4,
+                n_pts_per_ray_fine_evaluation=4,
+                bg_color=[0.0, 0.0, 0.0],
+                density_noise_std_train=0.0,
+            ),
+            feature_extractor=[],
+        )
+    )
+    params = pipeline.init(jax.random.PRNGKey(0))
+    poses = jnp.eye(4)[None]
+    poses = poses.at[0, 2, 3].set(2.0)
+    focals = jnp.asarray([[6.0]])
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, 6, 6, 3))
+
+    for mode in (EvaluationMode.TRAINING, EvaluationMode.EVALUATION):
+        preds = pipeline.forward(
+            params,
+            jax.random.PRNGKey(2),
+            poses=poses,
+            focal_lengths=focals,
+            image_rgb=image,
+            evaluation_mode=mode,
+        )
+        assert np.isfinite(float(jnp.mean(preds["objective"])))

@@ -1,9 +1,11 @@
 from .builder import MODELS
+from .hash_grid import HashGridNeRF
 from .layers import init_linear_default, init_linear_xavier, linear, linear_with_repeat
 from .nerf_mlp import NeRFMLP, ZeroOutputer
 
 __all__ = [
     "MODELS",
+    "HashGridNeRF",
     "NeRFMLP",
     "ZeroOutputer",
     "init_linear_default",
