@@ -11,10 +11,14 @@ Run:  nohup python -u benchmarks/r2_kernel_bench.py > /tmp/r2_kernel.log 2>&1 &
 Never kill it mid-run (stale TPU lease).
 """
 
+import os
+import sys
 import time
 from typing import NamedTuple
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):

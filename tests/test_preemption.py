@@ -6,7 +6,6 @@ aux axis where the TPU build exceeds it.
 """
 
 import json
-import os
 import signal
 import subprocess
 import sys

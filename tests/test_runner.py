@@ -187,3 +187,22 @@ def test_create_stats_derives_psnr():
     assert abs(stats["loss_rgb_mse"] - 0.01) < 1e-9
     assert abs(stats["loss_rgb_psnr"] - 20.0) < 1e-6
     assert "other" not in stats
+
+
+def test_async_vis_writer_propagates_worker_errors(tmp_path):
+    import numpy as np
+    import pytest
+
+    from yanerf_tpu.runners.vis import AsyncVisWriter, RunType
+
+    writer = AsyncVisWriter()
+    preds = {"rendered_images": np.zeros((1, 4, 4, 3), dtype=np.float32)}
+    writer.submit(preds, RunType.TEST, str(tmp_path), 0, 1)
+    writer.close()
+    assert (tmp_path / "visualization" / "test" / "rendered_images" / "00000.png").exists()
+
+    # a worker-side failure must surface at close(), not be swallowed
+    bad = AsyncVisWriter()
+    bad.submit(preds, RunType.TEST, "/proc/definitely/not/writable", 0, 1)
+    with pytest.raises(Exception):
+        bad.close()

@@ -44,7 +44,7 @@ class _RaySampler:
         max_depth: float,
         n_rays_per_image: Optional[int] = None,
         stratified_sampling: bool = False,
-        approx_top_k: bool = True,
+        approx_top_k: bool = False,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -176,7 +176,7 @@ class RaySampler:
         max_depth: float = 8.0,
         stratified_point_sampling_training: bool = True,
         stratified_point_sampling_evaluation: bool = False,
-        approx_top_k: bool = True,
+        approx_top_k: bool = False,
         use_ndc: bool = False,
         ndc_near: float = 1.0,
     ) -> None:
