@@ -32,7 +32,13 @@ def main():
     IMAGE_HW = 800
     BATCH = 1
 
-    pipeline = _flagship_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW, compute_dtype="bfloat16")
+    # The throughput configuration (configs/nerf/lego_tpu.yml): approx
+    # Gumbel top-k ray sampling opted in. The repo-wide default is the exact
+    # sampler (see docs/performance.md "Exact vs approximate" A/B); the
+    # bench measures the published throughput config, as in round 1.
+    pipeline = _flagship_pipeline(
+        n_rays=N_RAYS, image_hw=IMAGE_HW, compute_dtype="bfloat16", approx_top_k=True
+    )
     runner_cfg = ConfigDict(
         dict(
             init_lr=5e-4, min_lr=5e-5, weight_decay=0.0, warmup_steps=1000, warmup_lr=1e-5,
@@ -77,7 +83,7 @@ def main():
             {
                 "metric": "train_rays_per_sec_per_chip",
                 "value": round(rays_per_sec_per_chip, 1),
-                "unit": "rays/s/chip (lego step: 4096 rays, 64+128 pts, bf16)",
+                "unit": "rays/s/chip (lego_tpu step: 4096 rays, 64+128 pts, bf16, approx top-k)",
                 "vs_baseline": round(rays_per_sec_per_chip / baseline_rays_per_sec_per_gpu, 3),
             }
         )
