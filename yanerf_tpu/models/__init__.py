@@ -2,11 +2,13 @@ from .builder import MODELS
 from .hash_grid import HashGridNeRF
 from .layers import init_linear_default, init_linear_xavier, linear, linear_with_repeat
 from .nerf_mlp import NeRFMLP, ZeroOutputer
+from .proposal_mlp import ProposalMLP
 
 __all__ = [
     "MODELS",
     "HashGridNeRF",
     "NeRFMLP",
+    "ProposalMLP",
     "ZeroOutputer",
     "init_linear_default",
     "init_linear_xavier",

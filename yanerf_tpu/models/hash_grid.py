@@ -42,6 +42,39 @@ from .layers import init_linear_default, linear
 _PRIMES = (1, 2654435761, 805459861)
 
 
+@jax.custom_vjp
+def table_lookup(table: jax.Array, flat_idx: jax.Array) -> jax.Array:
+    """Row gather with a TPU-tuned backward.
+
+    Forward is a plain row gather. The default autodiff backward would be a
+    row scatter-add into ``(T, F)`` — measured at ~520 ms for 12.6M updates
+    on v5e, ~6x slower than F independent FLAT scatter-adds into ``(T,)``
+    (~90 ms each; see docs/performance.md "Hash-grid encodings on TPU").
+    The custom VJP takes the flat path.
+    """
+    return jnp.take(table, flat_idx, axis=0)
+
+
+def _table_lookup_fwd(table, flat_idx):
+    # the table rides along only for its shape/dtype (zero runtime cost:
+    # params are live anyway and the value is never read in the backward)
+    return table_lookup(table, flat_idx), (flat_idx, table)
+
+
+def _table_lookup_bwd(res, ct):
+    flat_idx, table = res
+    n_rows, n_feats = table.shape
+    ct = ct.astype(jnp.float32)
+    grad = jnp.stack(
+        [jnp.zeros((n_rows,), jnp.float32).at[flat_idx].add(ct[:, f]) for f in range(n_feats)],
+        axis=-1,
+    )
+    return grad.astype(table.dtype), None
+
+
+table_lookup.defvjp(_table_lookup_fwd, _table_lookup_bwd)
+
+
 def _level_resolutions(n_levels: int, base_resolution: int, max_resolution: int) -> List[int]:
     if n_levels == 1:
         return [base_resolution]
@@ -159,7 +192,7 @@ class HashGridNeRF:
             cell = jnp.floor(scaled)
             frac = scaled - cell  # (N, 3)
             idx = self._corner_indices(cell.astype(jnp.int32), offsets, level)  # (N, 8)
-            rows = jnp.take(tables[level], idx.reshape(-1), axis=0).reshape(
+            rows = table_lookup(tables[level], idx.reshape(-1)).reshape(
                 *idx.shape, self.n_features_per_level
             )  # (N, 8, F)
             # trilinear weights: prod over dims of (1-frac) or frac per corner bit

@@ -1,0 +1,77 @@
+"""Proposal-sampler (interlevel) loss — the TPU-native fast-NeRF estimator.
+
+The reference framework scales NeRF by evaluating its full MLP at 64 + 192
+points per ray (/root/reference/configs/nerf/lego.yml:20-41); GPU-era
+accelerations (Instant-NGP hash grids) rely on cached random access that
+TPUs lack (measured in docs/performance.md). The TPU-native route to the
+same speed class is *sampling efficiency*: tiny density-only proposal
+MLPs place a short, well-targeted sample budget for the expensive model —
+all matmuls, no gathers. This module implements the histogram consistency
+loss that trains the proposals (the "interlevel loss" of mip-NeRF 360,
+popularized as the proposal estimator in NerfAcc — PAPERS.md).
+
+Formulation (gather-free, mirroring ops/sample_pdf.py's design): for each
+final-pass interval ``[t_i, t_{i+1})`` with emission-absorption weight
+``w_i``, the proposal histogram must place at least as much mass on every
+region where the final histogram found mass:
+
+    w_outer_i = sum_j w^hat_j * [t^hat_j <= t_{i+1}] * [t^hat_{j+1} >= t_i]
+    loss      = sum_i relu(w_i - w_outer_i)^2 / (w_i + eps)
+
+with the final histogram treated as ground truth (stop-gradient), so the
+loss only shapes the proposal. Implemented as one broadcast
+compare-multiply-reduce over ``(..., N_final, N_prop)`` — no searchsorted,
+no gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["interlevel_loss"]
+
+
+def _intervals(lengths: jax.Array, weights: jax.Array):
+    """Drop the sentinel interval: EA weight k covers [t_k, t_{k+1}] for
+    k < P-1; the last weight belongs to the background_opacity sentinel
+    interval [t_{P-1}, inf) and is excluded from histogram matching."""
+    return lengths[..., :-1], lengths[..., 1:], weights[..., :-1]
+
+
+def interlevel_loss(
+    final_lengths: jax.Array,
+    final_weights: jax.Array,
+    prop_lengths: jax.Array,
+    prop_weights: jax.Array,
+    eps: float = 1e-7,
+) -> jax.Array:
+    """Per-ray proposal consistency loss.
+
+    Args:
+        final_lengths: ``(..., P_f)`` final-pass depth samples (sorted).
+        final_weights: ``(..., P_f)`` final-pass EA weights (will be
+            stop-gradient'd here).
+        prop_lengths: ``(..., P_p)`` proposal-pass depth samples (sorted).
+        prop_weights: ``(..., P_p)`` proposal-pass EA weights (gradients
+            flow through these).
+
+    Returns:
+        ``(...,)`` per-ray loss.
+    """
+    t_lo, t_hi, w = _intervals(
+        jax.lax.stop_gradient(final_lengths), jax.lax.stop_gradient(final_weights)
+    )
+    that_lo, that_hi, what = _intervals(jax.lax.stop_gradient(prop_lengths), prop_weights)
+
+    # (..., N_f, N_p) inclusive-overlap mask in f32 (bf16 compares crash the
+    # Mosaic helper and lose edge precision; these are tiny tensors anyway)
+    overlap = (
+        (that_lo[..., None, :] <= t_hi[..., :, None])
+        & (that_hi[..., None, :] >= t_lo[..., :, None])
+    ).astype(jnp.float32)
+    w_outer = jnp.sum(what[..., None, :].astype(jnp.float32) * overlap, axis=-1)
+
+    w = w.astype(jnp.float32)
+    excess = jax.nn.relu(w - w_outer)
+    return jnp.sum(excess * excess / (w + eps), axis=-1)

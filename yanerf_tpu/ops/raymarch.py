@@ -41,6 +41,65 @@ def _weight_function(name: str):
     raise ValueError(f"Unknown weight_function: {name}")
 
 
+def emission_absorption_weights(
+    rays_densities: jax.Array,
+    ray_lengths: jax.Array,
+    ray_directions: jax.Array,
+    *,
+    density_noise_std: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    capping_function: str = "exponential",
+    weight_function: str = "product",
+    background_opacity: float = 1e10,
+    density_relu: bool = True,
+    background_density_bias: float = 0.0,
+    surface_thickness: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """The compositing core: per-point weights and per-ray opacities only.
+
+    Identical math (and op order) to the weights computed inside
+    ``emission_absorption``; used standalone by the proposal-sampler
+    renderer, where proposal passes need transmittance weights but never
+    composite features.
+
+    Returns:
+        ``(weights (..., P), opacities (..., 1))``.
+    """
+    cap = _capping_function(capping_function)
+    weight_fn = _weight_function(weight_function)
+    dtype = rays_densities.dtype
+
+    deltas = jnp.concatenate(
+        [
+            ray_lengths[..., 1:] - ray_lengths[..., :-1],
+            jnp.full_like(ray_lengths[..., :1], background_opacity),
+        ],
+        axis=-1,
+    )
+    dir_norm = jnp.linalg.norm(ray_directions, axis=-1)
+    deltas = deltas * dir_norm[..., None]
+
+    densities = rays_densities[..., 0]
+    if density_noise_std > 0.0:
+        if rng is None:
+            raise ValueError("density_noise_std > 0 requires an rng key")
+        densities = densities + jax.random.normal(rng, densities.shape, dtype=dtype) * density_noise_std
+    if density_relu:
+        densities = jax.nn.relu(densities) + background_density_bias
+
+    weighted_densities = deltas * densities
+    capped_densities = cap(weighted_densities)
+
+    rays_opacities = cap(jnp.cumsum(weighted_densities, axis=-1))
+    opacities = rays_opacities[..., -1:]
+    absorption_shifted = jnp.roll(1.0 - rays_opacities, surface_thickness, axis=-1)
+    ones_head = jnp.ones_like(absorption_shifted[..., :surface_thickness])
+    absorption_shifted = jnp.concatenate([ones_head, absorption_shifted[..., surface_thickness:]], axis=-1)
+
+    weights = weight_fn(capped_densities, absorption_shifted)
+    return weights, opacities
+
+
 def emission_absorption(
     rays_densities: jax.Array,
     rays_features: jax.Array,
@@ -75,38 +134,20 @@ def emission_absorption(
         ``(features (..., C), depths (..., 1), opacities (..., 1),
         weights (..., P))``.
     """
-    cap = _capping_function(capping_function)
-    weight_fn = _weight_function(weight_function)
-    dtype = rays_densities.dtype
-
-    deltas = jnp.concatenate(
-        [
-            ray_lengths[..., 1:] - ray_lengths[..., :-1],
-            jnp.full_like(ray_lengths[..., :1], background_opacity),
-        ],
-        axis=-1,
+    weights, opacities = emission_absorption_weights(
+        rays_densities,
+        ray_lengths,
+        ray_directions,
+        density_noise_std=density_noise_std,
+        rng=rng,
+        capping_function=capping_function,
+        weight_function=weight_function,
+        background_opacity=background_opacity,
+        density_relu=density_relu,
+        background_density_bias=background_density_bias,
+        surface_thickness=surface_thickness,
     )
-    dir_norm = jnp.linalg.norm(ray_directions, axis=-1)
-    deltas = deltas * dir_norm[..., None]
-
-    densities = rays_densities[..., 0]
-    if density_noise_std > 0.0:
-        if rng is None:
-            raise ValueError("density_noise_std > 0 requires an rng key")
-        densities = densities + jax.random.normal(rng, densities.shape, dtype=dtype) * density_noise_std
-    if density_relu:
-        densities = jax.nn.relu(densities) + background_density_bias
-
-    weighted_densities = deltas * densities
-    capped_densities = cap(weighted_densities)
-
-    rays_opacities = cap(jnp.cumsum(weighted_densities, axis=-1))
-    opacities = rays_opacities[..., -1:]
-    absorption_shifted = jnp.roll(1.0 - rays_opacities, surface_thickness, axis=-1)
-    ones_head = jnp.ones_like(absorption_shifted[..., :surface_thickness])
-    absorption_shifted = jnp.concatenate([ones_head, absorption_shifted[..., surface_thickness:]], axis=-1)
-
-    weights = weight_fn(capped_densities, absorption_shifted)
+    dtype = rays_densities.dtype
     depths = jnp.sum(weights * ray_lengths, axis=-1, keepdims=True)
 
     n_channels = rays_features.shape[-1]

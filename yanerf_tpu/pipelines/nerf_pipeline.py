@@ -186,6 +186,14 @@ class NeRFPipeline:
 
         preds = self._get_view_metrics(rendered, xys, image_rgb, depth_map)
 
+        # Renderer-provided per-ray losses (e.g. the proposal-sampler's
+        # interlevel loss) reduce to per-sample (B,) like every other loss
+        # (the reference's per-sample-losses-averaged-in-the-runner contract,
+        # ref README.md:81, apis.py:87,203).
+        for k, v in rendered.aux.items():
+            if k.startswith("loss_"):
+                preds[k] = v.reshape(v.shape[0], -1).mean(axis=-1)
+
         rasterize_mc = self.output_rasterized_mc if output_rasterized_mc is None else output_rasterized_mc
         rendered_blob: Dict[str, jax.Array] = {}
         if sampling_mode == RenderSamplingMode.MASK_SAMPLE:

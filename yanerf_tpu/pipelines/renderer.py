@@ -17,7 +17,8 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from yanerf_tpu.ops.raymarch import emission_absorption
+from yanerf_tpu.ops.proposal import interlevel_loss
+from yanerf_tpu.ops.raymarch import emission_absorption, emission_absorption_weights
 from yanerf_tpu.ops.sample_pdf import sample_pdf
 from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RendererOutput
 
@@ -172,3 +173,159 @@ class MultipassEmissionAbsorpsionRenderer:
                 next_rng, *ray_bundle, bg_color, implicit_functions[1:], output, evaluation_mode, **kwargs
             )
         return output
+
+
+@RENDERERS.register_module()
+class ProposalEmissionAbsorpsionRenderer:
+    """Proposal-sampler renderer: the TPU-native fast-NeRF estimator.
+
+    Replaces the reference's coarse->fine scheme (full MLP at 64 + 192
+    points/ray, multipass_emission_absorpsion_renderer.py:84-117) with
+    the proposal estimator of mip-NeRF 360 / NerfAcc (PAPERS.md):
+    ``implicit_functions = [proposal_0, ..., proposal_{k-1}, main]``,
+    where each proposal is a tiny density-only model whose emission-
+    absorption weights importance-sample the next pass's depths
+    (without re-appending the previous samples), and only the final,
+    expensive model composites colors. The proposals are trained by the
+    histogram consistency loss (ops/proposal.py) surfaced per-ray as
+    ``aux["loss_proposal"]`` — weight it via the pipeline's
+    ``loss_weights``.
+
+    Why this is the TPU-native speed path: the sample budget for the
+    expensive model drops ~6x (e.g. 64 proposal pts on a 4x128 MLP + 32
+    final pts on the 8x256 MLP ~= 48 MFLOP/ray vs the reference
+    schedule's 305), it is matmuls end-to-end (no gathers — cf. the
+    hash-grid analysis in docs/performance.md), and the whole multipass
+    program still compiles to one XLA program.
+    """
+
+    def __init__(
+        self,
+        n_pts_per_ray_final_training: int = 32,
+        n_pts_per_ray_final_evaluation: int = 32,
+        n_pts_per_ray_intermediate_training: Sequence[int] = (),
+        n_pts_per_ray_intermediate_evaluation: Sequence[int] = (),
+        stratified_sampling_training: bool = True,
+        stratified_sampling_evaluation: bool = False,
+        bg_color: Sequence[float] = (0.0,),
+        density_noise_std_train: float = 0.0,
+        capping_function: str = "exponential",
+        weight_function: str = "product",
+        background_opacity: float = 1e10,
+        blend_output: bool = False,
+        background_density_bias: float = 0.0,
+        hard_background: bool = False,
+        density_relu: bool = True,
+        surface_thickness: int = 1,
+        interlevel_loss_eps: float = 1e-7,
+    ) -> None:
+        self.density_noise_std_train = density_noise_std_train
+        self._final_cfg = {
+            EvaluationMode.TRAINING: (n_pts_per_ray_final_training, stratified_sampling_training),
+            EvaluationMode.EVALUATION: (n_pts_per_ray_final_evaluation, stratified_sampling_evaluation),
+        }
+        self._intermediate_cfg = {
+            EvaluationMode.TRAINING: tuple(n_pts_per_ray_intermediate_training),
+            EvaluationMode.EVALUATION: tuple(n_pts_per_ray_intermediate_evaluation),
+        }
+        self.interlevel_loss_eps = interlevel_loss_eps
+        self.weights_kwargs = dict(
+            capping_function=capping_function,
+            weight_function=weight_function,
+            background_opacity=background_opacity,
+            density_relu=density_relu,
+            background_density_bias=background_density_bias,
+            surface_thickness=surface_thickness,
+        )
+        self.raymarcher_kwargs = dict(
+            default_bg_color=tuple(bg_color),
+            blend_output=blend_output,
+            hard_background=hard_background,
+            **self.weights_kwargs,
+        )
+
+    def __call__(
+        self,
+        rng: Optional[jax.Array],
+        origins: jax.Array,
+        directions: jax.Array,
+        lengths: jax.Array,
+        xys: jax.Array,
+        bg_color: Optional[jax.Array],
+        *,
+        implicit_functions: List[Callable[..., Dict[str, Any]]],
+        evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
+        **kwargs,
+    ) -> RendererOutput:
+        if len(implicit_functions) < 2:
+            raise ValueError(
+                "The proposal renderer expects [proposal..., main] — at least two implicit functions"
+            )
+        n_props = len(implicit_functions) - 1
+        n_final, random_sampling = self._final_cfg[evaluation_mode]
+        intermediate = self._intermediate_cfg[evaluation_mode]
+        if len(intermediate) != n_props - 1:
+            raise ValueError(
+                f"{n_props} proposal passes need {n_props - 1} intermediate point counts, "
+                f"got {len(intermediate)} (the first pass uses the ray sampler's depths)"
+            )
+        pts_schedule = list(intermediate) + [n_final]
+
+        histograms = []  # (lengths, weights) per proposal pass
+        for k in range(n_props):
+            refine_rng = None
+            if rng is not None:
+                rng, refine_rng = jax.random.split(rng)
+            prop_out = implicit_functions[k](origins, directions, lengths, **kwargs)
+            prop_weights, _ = emission_absorption_weights(
+                prop_out["rays_densities"],
+                lengths,
+                directions,
+                **self.weights_kwargs,
+            )
+            histograms.append((lengths, prop_weights))
+            bundle = refine_ray_points(
+                refine_rng,
+                origins,
+                directions,
+                lengths,
+                xys,
+                prop_weights,
+                n_pts_per_ray=pts_schedule[k],
+                random_sampling=random_sampling,
+                add_input_samples=False,
+            )
+            lengths = bundle.lengths
+
+        noise_rng = None
+        if rng is not None:
+            rng, noise_rng = jax.random.split(rng)
+        density_noise_std = (
+            self.density_noise_std_train if evaluation_mode == EvaluationMode.TRAINING else 0.0
+        )
+        model_out = implicit_functions[-1](origins, directions, lengths, **kwargs)
+        features, depths, alpha_masks, weights = emission_absorption(
+            model_out["rays_densities"],
+            model_out["rays_features"],
+            ray_lengths=lengths,
+            ray_directions=directions,
+            density_noise_std=density_noise_std,
+            rng=noise_rng,
+            bg_color=bg_color,
+            **self.raymarcher_kwargs,
+        )
+
+        loss = None
+        for prop_lengths, prop_weights in histograms:
+            term = interlevel_loss(
+                lengths, weights, prop_lengths, prop_weights, eps=self.interlevel_loss_eps
+            )
+            loss = term if loss is None else loss + term
+        loss = loss / float(n_props)
+
+        aux = dict(model_out.get("aux", {}))
+        aux["weights"] = weights
+        aux["loss_proposal"] = loss
+        return RendererOutput(
+            features=features, depths=depths, alpha_masks=alpha_masks, aux=aux, prev_stage=None
+        )
