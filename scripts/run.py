@@ -138,6 +138,7 @@ def main(args, config):
         load_checkpoint,
         make_eval_step,
         make_train_step,
+        make_train_step_fused,
         save_checkpoint,
         train_one_epoch,
         wait_for_async_saves,
@@ -247,6 +248,14 @@ def main(args, config):
     train_step = make_train_step(pipeline, optimizer, mesh=mesh, rasterize_mc=False)
     train_step_vis = make_train_step(pipeline, optimizer, mesh=mesh, rasterize_mc=True, donate=False)
     eval_step = make_eval_step(pipeline, mesh=mesh)
+    # Fused K-step dispatches (runner.steps_per_call > 1): amortizes host
+    # dispatch latency over K on-device train steps; requires the device
+    # dataset cache. Numerically identical to the per-step loop.
+    train_step_fused = None
+    if int(config.runner.get("steps_per_call", 1) or 1) > 1:
+        train_step_fused = make_train_step_fused(
+            pipeline, optimizer, dataloaders[0].data_wrapper, mesh=mesh
+        )
 
     if not args.test_only:
         # Preemption safety (beyond the reference, which has none): SIGTERM /
@@ -273,6 +282,7 @@ def main(args, config):
             is_main_process,
             barrier,
             preemption_guard=guard,
+            train_step_fused=train_step_fused,
         )
         guard.uninstall()
         if guard.preempted:
@@ -316,6 +326,7 @@ def train(
     is_main_process,
     barrier,
     preemption_guard=None,
+    train_step_fused=None,
 ):
     logger.info(f"Start Training. Epoch range: {start_epoch} -> {runner_config['num_epochs']}")
     monitor_type = MonitorMetricType.HIGH
@@ -329,7 +340,7 @@ def train(
         state, train_stats = train_one_epoch(
             RunType.TRAIN, runner_config, epoch, state, train_loader, train_step, base_rng,
             train_step_vis=train_step_vis, mesh=mesh, lr_schedule=lr_schedule,
-            preemption_guard=preemption_guard,
+            preemption_guard=preemption_guard, train_step_fused=train_step_fused,
         )
         if preemption_guard is not None and preemption_guard.preempted:
             # Emergency resumable checkpoint: saved as epoch-1 so resume

@@ -1,4 +1,12 @@
-from .apis import eval_one_epoch, inference, make_eval_step, make_train_step, prepare_batch, train_one_epoch
+from .apis import (
+    eval_one_epoch,
+    inference,
+    make_eval_step,
+    make_train_step,
+    make_train_step_fused,
+    prepare_batch,
+    train_one_epoch,
+)
 from .checkpoints import (
     PreemptionGuard,
     ckpt_name,
@@ -19,6 +27,7 @@ __all__ = [
     "inference",
     "make_eval_step",
     "make_train_step",
+    "make_train_step_fused",
     "prepare_batch",
     "train_one_epoch",
     "ckpt_name",
