@@ -124,3 +124,109 @@ def test_ray_sharding_actually_partitions():
     assert ("all-reduce" in compiled_text) or ("all-gather" in compiled_text), (
         "expected collectives in the compiled sharded program"
     )
+
+
+def _proposal_pipeline(n_rays=8):
+    cfg = dict(
+        type="NeRFPipeline",
+        chunk_size_grid=64,
+        num_passes=2,
+        output_rasterized_mc=False,
+        loss_weights={"loss_rgb_mse": 1.0, "loss_proposal": 1.0},
+        model=[
+            dict(type="ProposalMLP", n_layers=2, hidden_dim=16, n_harmonic_functions_xyz=2),
+            dict(
+                type="NeRFMLP",
+                n_layers=2,
+                input_skips=[1],
+                n_harmonic_functions_xyz=2,
+                n_harmonic_functions_dir=1,
+                n_hidden_neurons_xyz=16,
+                n_hidden_neurons_dir=8,
+                latent_dim=0,
+                color_dim=3,
+            ),
+        ],
+        ray_sampler=dict(
+            type="RaySampler",
+            image_height=8,
+            image_width=8,
+            min_depth=1.0,
+            max_depth=3.0,
+            n_pts_per_ray_training=6,
+            n_pts_per_ray_evaluation=6,
+            n_rays_per_image_sampled_from_mask=n_rays,
+        ),
+        renderer=dict(
+            type="ProposalEmissionAbsorpsionRenderer",
+            n_pts_per_ray_final_training=4,
+            n_pts_per_ray_final_evaluation=4,
+            bg_color=[0.0, 0.0, 0.0],
+            density_noise_std_train=0.0,
+            background_density_bias=1.0e-6,
+        ),
+        feature_extractor=[],
+    )
+    return PIPELINES.build(cfg)
+
+
+def test_sharded_proposal_train_step_matches_unsharded():
+    """The proposal renderer (importance resampling + interlevel loss) must
+    shard transparently over the (data, rays) mesh like the classic path."""
+    pipeline = _proposal_pipeline()
+    optimizer = create_optimizer(RUNNER_CFG)
+    params = pipeline.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+
+    state = create_train_state(params, optimizer)
+    step = make_train_step(pipeline, optimizer, mesh=None, donate=False)
+    state1, preds1 = step(state, prepare_batch(_batch(), W, None), rng)
+
+    mesh = create_mesh(data_parallel=2, ray_parallel=4)
+    state_m = create_train_state(params, optimizer)
+    step_m = make_train_step(pipeline, optimizer, mesh=mesh, donate=False)
+    state2, preds2 = step_m(state_m, prepare_batch(_batch(), W, mesh), rng)
+
+    np.testing.assert_allclose(
+        np.asarray(preds1["objective"]), np.asarray(preds2["objective"]), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds1["loss_proposal"]), np.asarray(preds2["loss_proposal"]), rtol=2e-5, atol=2e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params), jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_multi_step_under_mesh_matches_unsharded_sequential():
+    """make_train_step_fused under a (data, rays) mesh == sequential
+    unsharded single steps: grouping and sharding are both transparent."""
+    from yanerf_tpu.runners import make_train_step_fused
+
+    pipeline = _pipeline()
+    optimizer = create_optimizer(RUNNER_CFG)
+    params = pipeline.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(5)
+    poses, focals, images = _batch()
+
+    # dataset of 4 items; batches of 2
+    rng_np = np.random.RandomState(1)
+    all_poses = np.concatenate([poses, poses], axis=0)
+    all_focals = np.concatenate([focals, focals], axis=0)
+    all_images = rng_np.rand(4, 8, 8, 3).astype(np.float32)
+    idx_rows = [np.array([0, 1]), np.array([2, 3]), np.array([1, 2])]
+
+    state_a = create_train_state(params, optimizer)
+    step = make_train_step(pipeline, optimizer, mesh=None, donate=False)
+    for row in idx_rows:
+        batch = prepare_batch((all_poses[row], all_focals[row], all_images[row]), W, None)
+        state_a, _ = step(state_a, batch, rng)
+
+    mesh = create_mesh(data_parallel=2, ray_parallel=4)
+    fused = make_train_step_fused(pipeline, optimizer, W, mesh=mesh, donate=False)
+    state_b = create_train_state(params, optimizer)
+    arrays = tuple(jnp.asarray(a) for a in (all_poses, all_focals, all_images))
+    state_b, hist = fused(state_b, arrays, jnp.asarray(np.stack(idx_rows)), rng)
+
+    assert int(state_a.step) == int(state_b.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
