@@ -279,3 +279,40 @@ def test_proposal_train_converges(tmp_path):
         )
     # the photometric part must overfit the constant 2x2 image
     assert stats["loss_rgb_mse"] < 0.01, stats
+
+
+# -- stratified inverse-CDF sampling ------------------------------------------
+
+
+def test_sample_pdf_stratified_is_sorted_and_matches_distribution():
+    from yanerf_tpu.ops.sample_pdf import sample_pdf
+
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 4.0, 9), (512, 9))
+    weights = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0, 3.0, 0.0, 0.0, 2.0, 0.0]), (512, 8))
+    s = sample_pdf(bins, weights, 32, rng=jax.random.PRNGKey(0), det=False, stratified=True)
+    # sorted by construction
+    assert bool(jnp.all(s[..., 1:] >= s[..., :-1]))
+    # mass concentrates where the pdf does: bins [1.0,2.0) w 4/6, [3.0,3.5) w 2/6
+    frac_mid = float(jnp.mean((s >= 1.0) & (s < 2.0)))
+    frac_hi = float(jnp.mean((s >= 3.0) & (s < 3.5)))
+    np.testing.assert_allclose(frac_mid, 4 / 6, atol=0.03)
+    np.testing.assert_allclose(frac_hi, 2 / 6, atol=0.03)
+
+
+def test_refine_sortfree_paths_produce_sorted_lengths():
+    from yanerf_tpu.pipelines.renderer import refine_ray_points
+
+    origins = jnp.zeros((2, 64, 3))
+    directions = jnp.ones((2, 64, 3))
+    lengths = jnp.broadcast_to(jnp.linspace(1.0, 3.0, 16), (2, 64, 16))
+    xys = jnp.zeros((2, 64, 2))
+    w = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 16))
+
+    for random_sampling in (True, False):
+        b = refine_ray_points(
+            jax.random.PRNGKey(1), origins, directions, lengths, xys, w,
+            n_pts_per_ray=24, random_sampling=random_sampling,
+            add_input_samples=False, stratified_u=True,
+        )
+        assert bool(jnp.all(b.lengths[..., 1:] >= b.lengths[..., :-1]))
+        assert b.lengths.shape == (2, 64, 24)

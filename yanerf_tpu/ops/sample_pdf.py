@@ -37,6 +37,7 @@ def sample_pdf(
     rng: Optional[jax.Array] = None,
     det: bool = False,
     eps: float = 1e-5,
+    stratified: bool = False,
 ) -> jax.Array:
     """Draw samples from the piecewise-constant pdf defined by bins/weights.
 
@@ -47,9 +48,15 @@ def sample_pdf(
         rng: PRNG key (required when ``det=False``).
         det: deterministic (uniformly spaced u) vs random sampling.
         eps: numerical floor preventing division by zero on empty bins.
+        stratified: with ``det=False``, draw u stratified — one uniform draw
+            per equal-width stratum, ``u_i = (i + xi_i) / n`` — instead of
+            iid. Lower-variance (the mip-NeRF 360 estimator's choice) and,
+            crucially for TPU, the u's (hence the inverse-CDF samples) are
+            sorted by construction, letting callers skip a ``sort``.
 
     Returns:
-        ``(..., n_samples)`` samples.
+        ``(..., n_samples)`` samples (monotone along the last axis when
+        ``det=True`` or ``stratified=True``).
     """
     dtype = bins.dtype
     weights = weights + eps
@@ -64,6 +71,8 @@ def sample_pdf(
         if rng is None:
             raise ValueError("sample_pdf with det=False requires an rng key")
         u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples), dtype=dtype)
+        if stratified:
+            u = (jnp.arange(n_samples, dtype=dtype) + u) / n_samples
 
     # Gather-free inverse CDF: select each u's bin with a disjoint interval
     # mask and interpolate in place. cdf is strictly increasing (weights were

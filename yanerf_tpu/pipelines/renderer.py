@@ -36,12 +36,17 @@ def refine_ray_points(
     n_pts_per_ray: int,
     random_sampling: bool,
     add_input_samples: bool = True,
+    stratified_u: bool = False,
 ) -> RayBundle:
     """Importance-sample new depths from previous-pass weights.
 
     Mid-bin edges + interior weights feed the inverse CDF; new samples are
     detached (the reference runs the refiner under ``no_grad``), optionally
-    merged with the coarse depths, and re-sorted.
+    merged with the coarse depths, and re-sorted. With ``stratified_u``
+    (the proposal renderer's mode) random u's are stratified, so when the
+    coarse samples aren't merged back the inverse-CDF output is already
+    sorted and the explicit ``sort`` is skipped (profiler-visible at
+    training scale).
     """
     z_vals = lengths
     z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
@@ -51,14 +56,16 @@ def refine_ray_points(
         n_pts_per_ray,
         rng=rng,
         det=not random_sampling,
+        stratified=stratified_u,
     )
     z_samples = jax.lax.stop_gradient(z_samples)
 
     if add_input_samples:
-        z_vals = jnp.concatenate([z_vals, z_samples], axis=-1)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    elif random_sampling and not stratified_u:
+        z_vals = jnp.sort(z_samples, axis=-1)
     else:
-        z_vals = z_samples
-    z_vals = jnp.sort(z_vals, axis=-1)
+        z_vals = z_samples  # monotone by construction (det or stratified u)
     return RayBundle(origins=origins, directions=directions, lengths=z_vals, xys=xys)
 
 
@@ -294,6 +301,7 @@ class ProposalEmissionAbsorpsionRenderer:
                 n_pts_per_ray=pts_schedule[k],
                 random_sampling=random_sampling,
                 add_input_samples=False,
+                stratified_u=True,
             )
             lengths = bundle.lengths
 
