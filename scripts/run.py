@@ -135,6 +135,7 @@ def main(args, config):
         create_train_state,
         eval_one_epoch,
         find_best_checkpoint,
+        find_latest_checkpoint,
         load_checkpoint,
         make_eval_step,
         make_train_step,
@@ -164,7 +165,18 @@ def main(args, config):
         config.runner.output_dir = args.output_dir
     output_dir = Path(config.runner.output_dir)
     if not args.test_only:
-        output_dir = setup_output_dir_for_training(output_dir, lambda: barrier("mkdir"))
+        # --auto_resume: reuse the newest version dir + checkpoint instead of
+        # starting a fresh version_N (completes the preemption-recovery loop:
+        # a rescheduled job resumes losslessly with the same command line).
+        resumed = None
+        if getattr(args, "auto_resume", False) and args.checkpoint is None:
+            resumed = find_latest_checkpoint(output_dir)
+        if resumed is not None:
+            output_dir, ckpt = resumed
+            args.checkpoint = str(ckpt)
+            barrier("mkdir")
+        else:
+            output_dir = setup_output_dir_for_training(output_dir, lambda: barrier("mkdir"))
         config.runner.output_dir = str(output_dir)
     if is_main_process():
         output_dir.mkdir(parents=True, exist_ok=True)
@@ -411,6 +423,10 @@ if __name__ == "__main__":
     parser.add_argument("--config", default="./configs/nerf/lego.yml")
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from the newest checkpoint under output_dir (preempt-safe restart)",
+    )
     parser.add_argument("--test_only", action="store_true")
     parser.add_argument("--device", default="tpu", choices=["tpu", "cuda", "cpu"],
                         help="'cpu' forces the CPU backend; otherwise the default accelerator is used")

@@ -148,3 +148,59 @@ def test_run_cli_end_to_end(tmp_path):
     )
     assert result2.returncode == 0, result2.stderr
     assert (output_root / "version_1" / "config.yml").exists()
+
+
+def test_find_latest_checkpoint_prefers_newest_mtime(tmp_path):
+    import os
+    import time as _time
+
+    from yanerf_tpu.runners.checkpoints import find_latest_checkpoint
+
+    assert find_latest_checkpoint(tmp_path) is None
+    v0 = tmp_path / "version_0" / "ckpts"
+    v1 = tmp_path / "version_1" / "ckpts"
+    for d in (v0 / "ckpts_0001", v0 / "ckpts_-001", v1 / "ckpts_0000", v1 / "ckpts_preempt"):
+        d.mkdir(parents=True)
+    now = _time.time()
+    os.utime(v0 / "ckpts_0001", (now - 30, now - 30))
+    os.utime(v0 / "ckpts_-001", (now, now))  # best alias: newest mtime but must be excluded
+    os.utime(v1 / "ckpts_0000", (now - 20, now - 20))
+    os.utime(v1 / "ckpts_preempt", (now - 10, now - 10))
+    vd, ckpt = find_latest_checkpoint(tmp_path)
+    assert vd == tmp_path / "version_1"
+    assert ckpt.name == "ckpts_preempt"
+
+
+@pytest.mark.slow
+def test_run_cli_auto_resume(tmp_path):
+    """A second invocation with --auto_resume reuses version_0 and continues
+    from the saved epoch instead of starting version_1 from scratch."""
+    data_dir = tmp_path / "data"
+    _make_blender(data_dir)
+    output_root = tmp_path / "results"
+    cfg_path = tmp_path / "tiny.yml"
+    cfg_path.write_text(CFG_TEMPLATE.format(data_dir=data_dir, output_dir=output_root))
+
+    env = dict(__import__("os").environ)
+    env.update(JAX_PLATFORMS="cpu", XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r1 = subprocess.run(
+        [sys.executable, "scripts/run.py", "--config", str(cfg_path), "--device", "cpu"],
+        cwd=REPO_ROOT, capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r1.returncode == 0, r1.stderr
+
+    r2 = subprocess.run(
+        [sys.executable, "scripts/run.py", "--config", str(cfg_path), "--device", "cpu",
+         "--auto_resume", "--cfg_options", "runner.num_iters=16"],
+        cwd=REPO_ROOT, capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert not (output_root / "version_1").exists(), "auto_resume must reuse version_0"
+    log = (output_root / "version_0" / "run.log").read_text()
+    assert "Resumed checkpoint from" in log
+    # training continued past the first run's final epoch (8 iters = 2 epochs)
+    train_stats = [
+        json.loads(line)
+        for line in (output_root / "version_0" / "train_stats.json").read_text().splitlines()
+    ]
+    assert train_stats[-1]["epoch"] >= 2

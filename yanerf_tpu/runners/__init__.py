@@ -11,6 +11,7 @@ from .checkpoints import (
     PreemptionGuard,
     ckpt_name,
     find_best_checkpoint,
+    find_latest_checkpoint,
     import_torch_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -32,6 +33,7 @@ __all__ = [
     "train_one_epoch",
     "ckpt_name",
     "find_best_checkpoint",
+    "find_latest_checkpoint",
     "PreemptionGuard",
     "wait_for_async_saves",
     "import_torch_checkpoint",

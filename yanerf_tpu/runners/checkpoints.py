@@ -222,3 +222,30 @@ def import_torch_checkpoint(pth_path: Union[str, Path], params: Any) -> Any:
 def find_best_checkpoint(output_dir: Union[str, Path]) -> Optional[Path]:
     best = Path(output_dir) / "ckpts" / ckpt_name(-1)
     return best if best.exists() else None
+
+
+def find_latest_checkpoint(output_dir: Union[str, Path]):
+    """Newest resumable checkpoint for ``--auto_resume``.
+
+    Scans ``version_*`` subdirs of ``output_dir`` (or ``output_dir`` itself
+    if it already contains ``ckpts/``) and returns the most-recently-written
+    ``ckpts_*`` entry — by mtime, so an emergency ``ckpts_preempt`` wins
+    right after a preemption but loses to any later periodic save. The
+    best-model alias ``ckpts_-001`` is excluded (best is not latest).
+
+    Returns ``(version_dir, ckpt_path)`` or ``None``.
+    """
+    root = Path(output_dir)
+    version_dirs = sorted(root.glob("version_*"))
+    if not version_dirs and (root / "ckpts").exists():
+        version_dirs = [root]
+    candidates = []
+    for vd in version_dirs:
+        for c in (vd / "ckpts").glob("ckpts_*"):
+            if c.name == ckpt_name(-1):
+                continue
+            candidates.append((c.stat().st_mtime, str(c), vd, c))
+    if not candidates:
+        return None
+    _, _, vd, c = max(candidates)
+    return vd, c
