@@ -206,6 +206,10 @@ def _fused_eligible(config, dataloader, train_step_fused) -> bool:
         return False
     if not hasattr(dataloader, "_ensure_cache") or not dataloader._ensure_cache():
         return False
+    # a ragged final batch (no drop_last, dataset % batch != 0) can't stack
+    # into the (K, B) index matrix — such loaders take the per-step path
+    if not dataloader.drop_last and len(dataloader.dataset) % dataloader.batch_size != 0:
+        return False
     return all(
         hasattr(a, "ndim") or np.isscalar(a) or a is None for a in dataloader._arrays
     )

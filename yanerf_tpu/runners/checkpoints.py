@@ -242,7 +242,9 @@ def find_latest_checkpoint(output_dir: Union[str, Path]):
     candidates = []
     for vd in version_dirs:
         for c in (vd / "ckpts").glob("ckpts_*"):
-            if c.name == ckpt_name(-1):
+            # skip the best-model alias (best != latest) and half-written
+            # orbax temp dirs a crash mid-save can leave behind
+            if c.name == ckpt_name(-1) or ".orbax-checkpoint-tmp" in c.name:
                 continue
             candidates.append((c.stat().st_mtime, str(c), vd, c))
     if not candidates:
