@@ -352,3 +352,36 @@ def test_ndc_ray_bundle_matches_perspective_projection():
     at_inf = np.asarray(ndc.origins) + 1.0 * np.asarray(ndc.directions)
     assert np.isfinite(at_inf).all()
     assert np.allclose(at_inf[..., 2], 1.0, atol=1e-6)
+
+
+def test_ndc_ray_bundle_handles_minus_z_facing_rays():
+    """The recentered LLFF world frame faces -z; the warp must mirror, not
+    advance rays backward (the bug the first synth_llff_ndc training run
+    exposed: near-plane advance with t_near < 0 behind the cameras)."""
+    W, H, near = 8, 6, 1.0
+    focal = jnp.asarray([[5.0]])
+    # camera at origin looking down -z: pose flips y and z (CAM_CALIBRATION),
+    # exactly what LLFFDataset.__getitem__ produces for the average camera
+    pose = jnp.diag(jnp.asarray([1.0, -1.0, -1.0]))[None]
+    poses = jnp.concatenate([pose, jnp.zeros((1, 3, 1))], axis=-1)
+    grid = jnp.broadcast_to(ops.get_xy_grid(H, W), (1, H, W, 2))
+    bundle = ops.xy_to_ray_bundle(poses, W, H, focal, grid, 0.0, 1.0, 4)
+    assert float(np.asarray(bundle.directions)[..., 2].mean()) < 0  # -z facing
+
+    ndc = ops.ndc_ray_bundle(bundle, W, H, focal, near=near)
+    o, d = np.asarray(ndc.origins), np.asarray(ndc.directions)
+    # near plane at t'=0 maps to z=-1; t'=1 (infinity) to z=+1; all finite
+    assert np.allclose(o[..., 2], -1.0, atol=1e-5)
+    assert np.allclose(o[..., 2] + d[..., 2], 1.0, atol=1e-5)
+    assert np.isfinite(o).all() and np.isfinite(d).all()
+
+    # mirror equivalence: flipping the world z of rays flips only NDC-z sign
+    flipped = ops.RayBundle(
+        origins=bundle.origins * jnp.asarray([1.0, 1.0, -1.0]),
+        directions=bundle.directions * jnp.asarray([1.0, 1.0, -1.0]),
+        lengths=bundle.lengths,
+        xys=bundle.xys,
+    )
+    ndc_flipped = ops.ndc_ray_bundle(flipped, W, H, focal, near=near)
+    np.testing.assert_allclose(np.asarray(ndc_flipped.origins), o, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ndc_flipped.directions), d, atol=1e-5)

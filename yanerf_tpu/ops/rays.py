@@ -161,12 +161,22 @@ def ndc_ray_bundle(
     expand = (origins.shape[0],) + (1,) * (origins.ndim - 2)
     focal = jnp.reshape(focal_lengths, expand).astype(origins.dtype)
 
-    # Advance origins to the near plane (t = (near - oz) / dz).
-    t_near = (near - origins[..., 2]) / directions[..., 2]
+    # The warp needs a designated facing axis. In the recentered LLFF world
+    # frame cameras look along -z (datasets/llff.py recenters about the
+    # average camera, whose back vector is +z), while the formulas below are
+    # written for +z-forward — so work in a frame with z flipped to whichever
+    # sign the rays actually face (a pure relabeling; the batch faces one way
+    # by the forward-facing assumption NDC itself requires).
+    s = jnp.sign(jnp.sum(directions[..., 2]))
+
+    # Advance origins to the near plane (t = (near - s*oz) / (s*dz)).
+    t_near = (near - s * origins[..., 2]) / (s * directions[..., 2])
     origins = origins + t_near[..., None] * directions
 
-    ox, oy, oz = origins[..., 0], origins[..., 1], origins[..., 2]
-    dx, dy, dz = directions[..., 0], directions[..., 1], directions[..., 2]
+    ox, oy = origins[..., 0], origins[..., 1]
+    dx, dy = directions[..., 0], directions[..., 1]
+    oz = s * origins[..., 2]
+    dz = s * directions[..., 2]
     fx = 2.0 * focal / float(image_width)
     fy = 2.0 * focal / float(image_height)
 
