@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--width", type=int, default=504)
     ap.add_argument("--n_images", type=int, default=40)
     ap.add_argument("--n_spheres", type=int, default=6)
+    ap.add_argument("--mode", choices=["forward", "orbit"], default="forward",
+                    help="forward: LLFF forward-facing cluster; orbit: 360 capture for the spherify path")
     ap.add_argument("--distance", type=float, default=4.0, help="camera plane distance")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -86,12 +88,23 @@ def main():
 
     rows = []
     for i in range(args.n_images):
-        # forward-facing cluster viewing along +y (keeps the look-at basis
-        # non-degenerate w.r.t. the global z-up), small lateral/depth jitter
-        offset = rng.uniform(-0.6, 0.6, size=2)
-        depth = args.distance + rng.uniform(-0.25, 0.25)
-        position = np.array([offset[0], -depth, scene_center[2] + offset[1] * 0.5])
-        target = scene_center + np.r_[rng.uniform(-0.1, 0.1), 0.0, rng.uniform(-0.1, 0.1)]
+        if args.mode == "orbit":
+            # 360 capture: cameras around the scene at mild elevations
+            # (spherify=True in the loader re-orients about the central point)
+            u = 2 * np.pi * i / args.n_images + rng.uniform(-0.05, 0.05)
+            elev = np.deg2rad(rng.uniform(5.0, 35.0))
+            r = args.distance + rng.uniform(-0.25, 0.25)
+            position = scene_center + r * np.array(
+                [np.cos(u) * np.cos(elev), np.sin(u) * np.cos(elev), np.sin(elev)]
+            )
+            target = scene_center + np.r_[rng.uniform(-0.1, 0.1, size=2), rng.uniform(-0.1, 0.1)]
+        else:
+            # forward-facing cluster viewing along +y (keeps the look-at basis
+            # non-degenerate w.r.t. the global z-up), small lateral/depth jitter
+            offset = rng.uniform(-0.6, 0.6, size=2)
+            depth = args.distance + rng.uniform(-0.25, 0.25)
+            position = np.array([offset[0], -depth, scene_center[2] + offset[1] * 0.5])
+            target = scene_center + np.r_[rng.uniform(-0.1, 0.1), 0.0, rng.uniform(-0.1, 0.1)]
         c2w = look_at_blender(position, target)
 
         img = render_hw(c2w, args.height, args.width, focal, centers, radii, albedos)
