@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--trajectory", choices=["render_path", "test"], default="render_path")
     parser.add_argument("--n_frames", type=int, default=None)
     parser.add_argument("--device", default="tpu", choices=["tpu", "cuda", "cpu"])
+    parser.add_argument("--gif", action="store_true", help="also write rgb.gif (PIL, no ffmpeg needed)")
+    parser.add_argument("--gif_fps", type=float, default=15.0)
     parser.add_argument("--cfg_options", nargs="+", action=DictAction)
     args = parser.parse_args()
 
@@ -101,6 +103,7 @@ def main():
     import imageio
 
     rng = jax.random.PRNGKey(0)
+    gif_frames = []
     t_start = time.perf_counter()
     for i, (pose, focal, (lo, hi)) in enumerate(zip(poses, focals, bounds)):
         frame, depth = render(
@@ -112,11 +115,23 @@ def main():
         d = d / max(d.max(), 1e-6)
         imageio.imwrite(out_dir / "rgb" / f"{i:05d}.png", rgb)
         imageio.imwrite(out_dir / "depth" / f"{i:05d}.png", to_img(d))
+        if args.gif:
+            gif_frames.append(rgb)
         if i == 0:
             t_start = time.perf_counter()  # exclude compile from fps
     n_timed = max(1, len(poses) - 1)
     fps = n_timed / (time.perf_counter() - t_start)
     print(f"rendered {len(poses)} frames to {out_dir} ({fps:.3f} fps after compile)")
+
+    if args.gif and gif_frames:
+        from PIL import Image
+
+        ims = [Image.fromarray(f) for f in gif_frames]
+        ims[0].save(
+            out_dir / "rgb.gif", save_all=True, append_images=ims[1:],
+            duration=int(1000 / args.gif_fps), loop=0,
+        )
+        print(f"wrote {out_dir / 'rgb.gif'} ({len(ims)} frames @ {args.gif_fps:g} fps)")
 
 
 if __name__ == "__main__":

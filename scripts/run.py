@@ -362,7 +362,10 @@ def train(
                 path = save_checkpoint(
                     runner_config["output_dir"], state, epoch=epoch - 1, name="ckpts_preempt"
                 )
-                logger.info(f"Preemption: saved emergency checkpoint to {path} (mid-epoch {epoch})")
+                logger.info(
+                    f"Preemption: saved emergency checkpoint to {path} (mid-epoch {epoch}); "
+                    "re-run the same command with --auto_resume to continue losslessly"
+                )
             barrier("preempt-save")
             return state
         if is_main_process():

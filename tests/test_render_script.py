@@ -74,11 +74,12 @@ pipeline:
             sys.executable, "scripts/render.py",
             "--config", str(cfg_path), "--checkpoint", str(ckpt),
             "--output_dir", str(out_dir), "--trajectory", "test",
-            "--device", "cpu", "--n_frames", "2",
+            "--device", "cpu", "--n_frames", "2", "--gif",
         ],
         cwd=REPO_ROOT, capture_output=True, text=True, timeout=600,
     )
     assert result.returncode == 0, f"stdout:\n{result.stdout}\nstderr:\n{result.stderr}"
+    assert (out_dir / "rgb.gif").exists()
     rgbs = sorted((out_dir / "rgb").glob("*.png"))
     depths = sorted((out_dir / "depth").glob("*.png"))
     assert len(rgbs) == 2 and len(depths) == 2

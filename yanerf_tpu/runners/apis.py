@@ -322,19 +322,26 @@ def train_one_epoch(
     preemption_guard=None,
     train_step_fused: Optional[Callable] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    if _fused_eligible(config, dataloader, train_step_fused):
-        return _train_one_epoch_fused(
-            run_type,
-            config,
-            epoch,
-            state,
-            dataloader,
-            train_step_fused,
-            rng,
-            train_step_vis=train_step_vis,
-            lr_schedule=lr_schedule,
-            preemption_guard=preemption_guard,
-        )
+    if train_step_fused is not None and int(config.get("steps_per_call", 1) or 1) > 1:
+        if _fused_eligible(config, dataloader, train_step_fused):
+            return _train_one_epoch_fused(
+                run_type,
+                config,
+                epoch,
+                state,
+                dataloader,
+                train_step_fused,
+                rng,
+                train_step_vis=train_step_vis,
+                lr_schedule=lr_schedule,
+                preemption_guard=preemption_guard,
+            )
+        if epoch == 0:
+            _get_logger(config).info(
+                "steps_per_call requested but the fused path is ineligible "
+                "(needs a fitting device dataset cache, no hooks, no ragged "
+                "final batch) — using the per-step loop."
+            )
     logger = _get_logger(config)
     passed_iter = epoch * len(dataloader)
     header = LOG_HEADER.format(run_type.value, epoch)
