@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--n_spheres", type=int, default=6)
     ap.add_argument("--mode", choices=["forward", "orbit"], default="forward",
                     help="forward: LLFF forward-facing cluster; orbit: 360 capture for the spherify path")
+    ap.add_argument("--distant_spheres", type=int, default=0,
+                    help="add N large background spheres at distances 15-40 (an UNBOUNDED scene "
+                    "for the contract_coords + sample_in_disparity path)")
     ap.add_argument("--distance", type=float, default=4.0, help="camera plane distance")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -81,6 +84,18 @@ def main():
     (out / "images").mkdir(parents=True, exist_ok=True)
     rng = np.random.RandomState(args.seed)
     centers, radii, albedos = make_scene(rng, args.n_spheres)
+    if args.distant_spheres:
+        far_c, far_r, far_a = [], [], []
+        for k in range(args.distant_spheres):
+            u = 2 * np.pi * (k + 0.35) / args.distant_spheres
+            dist = rng.uniform(15.0, 40.0)
+            elev = np.deg2rad(rng.uniform(-10.0, 25.0))
+            far_c.append(dist * np.array([np.cos(u) * np.cos(elev), np.sin(u) * np.cos(elev), np.sin(elev)]))
+            far_r.append(rng.uniform(2.0, 6.0))
+            far_a.append(rng.uniform(0.3, 1.0, size=3))
+        centers = np.concatenate([centers, np.asarray(far_c)])
+        radii = np.concatenate([radii, np.asarray(far_r)])
+        albedos = np.concatenate([albedos, np.asarray(far_a)])
 
     camera_angle_x = 0.6911112070083618
     focal = 0.5 * args.width / np.tan(0.5 * camera_angle_x)
@@ -115,6 +130,11 @@ def main():
         t_centers = (centers - position) @ forward
         near = max(0.5, float((t_centers - radii).min()) * 0.9)
         far = float((t_centers + radii).max()) * 1.2
+        if args.distant_spheres:
+            # near bound tracks only the CENTRAL content (distant spheres can
+            # sit behind the camera on the far side of the orbit)
+            t_near_candidates = t_centers[: args.n_spheres] - radii[: args.n_spheres]
+            near = max(0.5, float(t_near_candidates.min()) * 0.9)
 
         right, up, back = c2w[:3, 0], c2w[:3, 1], c2w[:3, 2]
         stored_rot = np.stack([-up, right, back], axis=1)  # columns [down, right, back]

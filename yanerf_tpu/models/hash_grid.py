@@ -102,6 +102,7 @@ class HashGridNeRF:
         scene_bound: float = 1.5,
         input_dir: bool = True,
         compute_dtype: str = "float32",
+        contract_coords: bool = False,
     ) -> None:
         self.n_levels = n_levels
         self.table_size = 1 << table_size_log2
@@ -114,6 +115,9 @@ class HashGridNeRF:
         self.harmonic_functions_dir_append_intput = harmonic_functions_dir_append_intput
         self.color_dim = color_dim
         self.scene_bound = float(scene_bound)
+        # unbounded scenes: contraction maps everything into |x| < 2, so a
+        # scene_bound of 2.0 covers the whole contracted domain
+        self.contract_coords = contract_coords
         self.input_dir = input_dir
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.latent_dim = 0  # pipeline contract parity with NeRFMLP
@@ -213,9 +217,11 @@ class HashGridNeRF:
     ) -> Dict[str, Any]:
         if global_codes is not None:
             raise ValueError("HashGridNeRF does not support latent conditioning")
-        from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+        from yanerf_tpu.ops.rays import contract_points, ray_bundle_to_ray_points
 
         points = ray_bundle_to_ray_points(origins, directions, lengths)
+        if self.contract_coords:
+            points = contract_points(points)
         enc = self.encode(params["tables"], points).astype(self.compute_dtype)
 
         h = jax.nn.relu(linear(params["density_mlp"][0], enc, self.compute_dtype))

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from yanerf_tpu.ops.harmonics import harmonic_embedding, harmonic_embedding_dim
-from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+from yanerf_tpu.ops.rays import contract_points, ray_bundle_to_ray_points
 
 from .builder import MODELS
 from .layers import init_linear_default, init_linear_xavier, linear, linear_with_repeat
@@ -55,6 +55,7 @@ class NeRFMLP:
         compute_dtype: str = "float32",
         use_pallas: bool = False,
         use_pallas_train: bool = False,
+        contract_coords: bool = False,
     ) -> None:
         if not input_xyz and latent_dim <= 0:
             raise ValueError("The latent dimension has to be > 0 if xyz is not input!")
@@ -74,6 +75,7 @@ class NeRFMLP:
         self.nerf_paper_v1 = nerf_paper_v1
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.use_pallas = use_pallas
+        self.contract_coords = contract_coords
         self.use_pallas_train = use_pallas_train
 
         self.embedding_dim_xyz = harmonic_embedding_dim(3, n_harmonic_functions_xyz, harmonic_functions_xyz_append_intput)
@@ -162,6 +164,10 @@ class NeRFMLP:
             ``rays_features (B, *spatial, P, color_dim)``, ``aux``.
         """
         points = ray_bundle_to_ray_points(origins, directions, lengths)
+        if self.contract_coords:
+            # unbounded scenes: compress R^3 into the radius-2 ball before
+            # positional encoding (ops/rays.py::contract_points)
+            points = contract_points(points)
         use_pallas = self.use_pallas if use_pallas is None else use_pallas
 
         if global_codes is not None:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from yanerf_tpu.ops.harmonics import harmonic_embedding, harmonic_embedding_dim
-from yanerf_tpu.ops.rays import ray_bundle_to_ray_points
+from yanerf_tpu.ops.rays import contract_points, ray_bundle_to_ray_points
 
 from .builder import MODELS
 from .layers import init_linear_xavier, linear
@@ -38,6 +38,7 @@ class ProposalMLP:
         harmonic_functions_xyz_append_intput: bool = True,
         color_dim: int = 3,
         compute_dtype: str = "float32",
+        contract_coords: bool = False,
     ) -> None:
         self.n_layers = n_layers
         self.hidden_dim = hidden_dim
@@ -45,6 +46,7 @@ class ProposalMLP:
         self.harmonic_functions_xyz_append_intput = harmonic_functions_xyz_append_intput
         self.color_dim = color_dim
         self.compute_dtype = jnp.dtype(compute_dtype)
+        self.contract_coords = contract_coords
         self.latent_dim = 0  # pipeline contract parity with NeRFMLP
         self.input_dim = harmonic_embedding_dim(
             3, n_harmonic_functions_xyz, harmonic_functions_xyz_append_intput
@@ -73,6 +75,8 @@ class ProposalMLP:
         if global_codes is not None:
             raise ValueError("ProposalMLP does not support latent conditioning")
         points = ray_bundle_to_ray_points(origins, directions, lengths)
+        if self.contract_coords:
+            points = contract_points(points)
         x = harmonic_embedding(
             points,
             self.n_harmonic_functions_xyz,

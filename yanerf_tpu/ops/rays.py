@@ -63,6 +63,7 @@ def xy_to_ray_bundle(
     n_pts_per_ray: int,
     stratified_sampling: bool = False,
     rng: Optional[jax.Array] = None,
+    sample_in_disparity: bool = False,
 ) -> RayBundle:
     """Unproject pixel coordinates into world-space rays with depth samples.
 
@@ -77,6 +78,12 @@ def xy_to_ray_bundle(
         min_depth/max_depth: scalars (possibly traced) bounding the depth range.
         n_pts_per_ray: number of depth samples per ray (0 for none).
         stratified_sampling: jiggle samples within strata (requires ``rng``).
+        sample_in_disparity: space depth samples linearly in INVERSE depth
+            (uniform in disparity) instead of linearly in depth — the right
+            spacing for unbounded scenes where ``max_depth >> min_depth``
+            (mip-NeRF 360's choice; pairs with ``contract_points``). The
+            stratified jiggle still operates on the resulting non-uniform
+            bins (``jiggle_within_stratas`` uses neighbour mid-points).
 
     Returns:
         A :class:`RayBundle` with origins/directions ``(B, *spatial, 3)``,
@@ -91,7 +98,11 @@ def xy_to_ray_bundle(
     if n_pts_per_ray > 0:
         min_d = jnp.mean(jnp.asarray(min_depth, dtype=dtype))
         max_d = jnp.mean(jnp.asarray(max_depth, dtype=dtype))
-        depths = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype) * (max_d - min_d) + min_d
+        t = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype)
+        if sample_in_disparity:
+            depths = 1.0 / (t * (1.0 / max_d - 1.0 / min_d) + 1.0 / min_d)
+        else:
+            depths = t * (max_d - min_d) + min_d
         rays_zs = jnp.broadcast_to(depths, (batch_size, *spatial_size, n_pts_per_ray))
         if stratified_sampling:
             if rng is None:
@@ -195,6 +206,28 @@ def ray_bundle_to_ray_points(
 ) -> jax.Array:
     """``points[..., p, :] = origin + length[..., p] * direction`` — ``(..., P, 3)``."""
     return rays_origins[..., None, :] + rays_lengths[..., :, None] * rays_directions[..., None, :]
+
+
+def contract_points(points: jax.Array, eps: float = 1e-9) -> jax.Array:
+    """mip-NeRF 360 scene contraction: map all of R^3 into the radius-2 ball.
+
+        contract(x) = x                      if |x| <= 1
+                      (2 - 1/|x|) * x/|x|    otherwise
+
+    Identity inside the unit ball; the infinite exterior compresses smoothly
+    into the shell 1 < |x| < 2, so a fixed-bandwidth positional encoding can
+    represent unbounded scenes. Opt-in per model (``contract_coords``);
+    pairs with ``sample_in_disparity`` in the ray sampler. The reference has
+    no unbounded-scene handling (its real_360 path samples metric bounds).
+    """
+    # double-where so the unselected branch never produces NaN cotangents
+    # (norm's gradient at the origin is NaN; 1/norm's explodes near it)
+    norm_sq = jnp.sum(points * points, axis=-1, keepdims=True)
+    inside = norm_sq <= 1.0
+    norm = jnp.sqrt(jnp.maximum(norm_sq, eps * eps))
+    safe = jnp.where(inside, jnp.ones_like(norm), norm)
+    contracted = (2.0 - 1.0 / safe) * (points / safe)
+    return jnp.where(inside, points, contracted)
 
 
 def get_min_max_depth_bounds(

@@ -45,6 +45,7 @@ class _RaySampler:
         n_rays_per_image: Optional[int] = None,
         stratified_sampling: bool = False,
         approx_top_k: bool = False,
+        sample_in_disparity: bool = False,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -54,6 +55,7 @@ class _RaySampler:
         self.n_rays_per_image = n_rays_per_image
         self.stratified_sampling = stratified_sampling
         self.approx_top_k = approx_top_k
+        self.sample_in_disparity = sample_in_disparity
 
     def __call__(
         self,
@@ -156,6 +158,7 @@ class _RaySampler:
             n_pts,
             stratified,
             rng=rng,
+            sample_in_disparity=self.sample_in_disparity,
         )
 
 
@@ -179,6 +182,7 @@ class RaySampler:
         approx_top_k: bool = False,
         use_ndc: bool = False,
         ndc_near: float = 1.0,
+        sample_in_disparity: bool = False,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -207,6 +211,9 @@ class RaySampler:
                 ),
                 stratified_sampling=stratified,
                 approx_top_k=approx_top_k,
+                # uniform-in-disparity depth spacing for unbounded scenes
+                # (pairs with the models' contract_coords)
+                sample_in_disparity=sample_in_disparity,
             )
             for mode, n_pts, stratified in (
                 (EvaluationMode.TRAINING, n_pts_per_ray_training, stratified_point_sampling_training),
