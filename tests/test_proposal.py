@@ -316,3 +316,44 @@ def test_refine_sortfree_paths_produce_sorted_lengths():
         )
         assert bool(jnp.all(b.lengths[..., 1:] >= b.lengths[..., :-1]))
         assert b.lengths.shape == (2, 64, 24)
+
+
+# -- distortion loss -----------------------------------------------------------
+
+
+def test_distortion_loss_prefers_concentrated_weights():
+    from yanerf_tpu.ops.proposal import distortion_loss
+
+    t = jnp.broadcast_to(jnp.linspace(1.0, 3.0, 17), (1, 17))
+    concentrated = jnp.zeros((1, 17)).at[0, 8].set(1.0)
+    spread = jnp.full((1, 17), 1.0 / 16).at[0, -1].set(0.0)
+    l_conc = float(distortion_loss(t, concentrated)[0])
+    l_spread = float(distortion_loss(t, spread)[0])
+    assert l_conc < l_spread
+    # zero weights -> zero loss
+    np.testing.assert_allclose(float(distortion_loss(t, jnp.zeros((1, 17)))[0]), 0.0)
+    # scale invariance: stretching the ray span leaves the loss unchanged
+    l_scaled = float(distortion_loss(t * 100.0, spread)[0])
+    np.testing.assert_allclose(l_scaled, l_spread, rtol=1e-5)
+
+
+def test_distortion_loss_flows_through_pipeline():
+    cfg = _proposal_pipeline_cfg()
+    cfg["loss_weights"]["loss_distortion"] = 0.01
+    pipeline = PIPELINES.build(cfg)
+    params = pipeline.init(jax.random.PRNGKey(0))
+    poses = jnp.eye(4)[None].at[0, 2, 3].set(2.0)
+    focals = jnp.asarray([[4.0]])
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 4, 3))
+    preds = pipeline.forward(
+        params, jax.random.PRNGKey(2), poses=poses, focal_lengths=focals,
+        image_rgb=image, evaluation_mode=EvaluationMode.TRAINING,
+    )
+    assert "loss_distortion" in preds and preds["loss_distortion"].shape == (1,)
+    assert np.isfinite(float(jnp.mean(preds["objective"])))
+
+    grads = jax.grad(lambda p: jnp.mean(pipeline.forward(
+        p, jax.random.PRNGKey(2), poses=poses, focal_lengths=focals,
+        image_rgb=image, evaluation_mode=EvaluationMode.TRAINING)["objective"]))(params)
+    total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0.0

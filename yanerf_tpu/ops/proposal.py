@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["interlevel_loss"]
+__all__ = ["distortion_loss", "interlevel_loss"]
 
 
 def _intervals(lengths: jax.Array, weights: jax.Array):
@@ -75,3 +75,39 @@ def interlevel_loss(
     w = w.astype(jnp.float32)
     excess = jax.nn.relu(w - w_outer)
     return jnp.sum(excess * excess / (w + eps), axis=-1)
+
+
+def distortion_loss(lengths: jax.Array, weights: jax.Array) -> jax.Array:
+    """Per-ray distortion regularizer (mip-NeRF 360 eq. 15, PAPERS.md).
+
+    Penalizes weight mass that is spread out along the ray — the "floaters
+    and background collapse" regularizer:
+
+        L = sum_ij w_i w_j |m_i - m_j|  +  (1/3) sum_i w_i^2 delta_i
+
+    with ``m`` the interval midpoints and ``delta`` the interval widths,
+    both normalized to the ray's [near, far] span so the loss is scale-free
+    (the published formulation works in normalized s-space). Like
+    ``interlevel_loss`` this is one broadcast multiply-reduce over
+    ``(..., P, P)`` — no gathers, MXU/VPU-friendly.
+
+    Args:
+        lengths: ``(..., P)`` sorted depth samples.
+        weights: ``(..., P)`` emission-absorption weights (the sentinel last
+            weight is excluded, as in ``interlevel_loss``).
+
+    Returns:
+        ``(...,)`` per-ray loss.
+    """
+    t_lo, t_hi, w = _intervals(jax.lax.stop_gradient(lengths), weights)
+    near = t_lo[..., :1]
+    span = jnp.maximum(t_hi[..., -1:] - near, 1e-9)
+    mids = (0.5 * (t_lo + t_hi) - near) / span
+    deltas = (t_hi - t_lo) / span
+
+    w = w.astype(jnp.float32)
+    mids = mids.astype(jnp.float32)
+    cross = jnp.abs(mids[..., :, None] - mids[..., None, :])
+    inter = jnp.sum(w[..., :, None] * w[..., None, :] * cross, axis=(-2, -1))
+    intra = jnp.sum(w * w * deltas.astype(jnp.float32), axis=-1) / 3.0
+    return inter + intra

@@ -17,7 +17,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from yanerf_tpu.ops.proposal import interlevel_loss
+from yanerf_tpu.ops.proposal import distortion_loss, interlevel_loss
 from yanerf_tpu.ops.raymarch import emission_absorption, emission_absorption_weights
 from yanerf_tpu.ops.sample_pdf import sample_pdf
 from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RendererOutput
@@ -334,6 +334,9 @@ class ProposalEmissionAbsorpsionRenderer:
         aux = dict(model_out.get("aux", {}))
         aux["weights"] = weights
         aux["loss_proposal"] = loss
+        # mip-NeRF 360's anti-floater regularizer over the final pass;
+        # inert unless weighted via pipeline.loss_weights["loss_distortion"]
+        aux["loss_distortion"] = distortion_loss(lengths, weights)
         return RendererOutput(
             features=features, depths=depths, alpha_masks=alpha_masks, aux=aux, prev_stage=None
         )
