@@ -72,8 +72,10 @@ def main():
     ap.add_argument("--mode", choices=["forward", "orbit"], default="forward",
                     help="forward: LLFF forward-facing cluster; orbit: 360 capture for the spherify path")
     ap.add_argument("--distant_spheres", type=int, default=0,
-                    help="add N large background spheres at distances 15-40 (an UNBOUNDED scene "
+                    help="add N large background spheres (an UNBOUNDED scene "
                     "for the contract_coords + sample_in_disparity path)")
+    ap.add_argument("--distant_min", type=float, default=15.0)
+    ap.add_argument("--distant_max", type=float, default=40.0)
     ap.add_argument("--distance", type=float, default=4.0, help="camera plane distance")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -88,10 +90,10 @@ def main():
         far_c, far_r, far_a = [], [], []
         for k in range(args.distant_spheres):
             u = 2 * np.pi * (k + 0.35) / args.distant_spheres
-            dist = rng.uniform(15.0, 40.0)
+            dist = rng.uniform(args.distant_min, args.distant_max)
             elev = np.deg2rad(rng.uniform(-10.0, 25.0))
             far_c.append(dist * np.array([np.cos(u) * np.cos(elev), np.sin(u) * np.cos(elev), np.sin(elev)]))
-            far_r.append(rng.uniform(2.0, 6.0))
+            far_r.append(dist * rng.uniform(0.1, 0.2))  # roughly constant angular size
             far_a.append(rng.uniform(0.3, 1.0, size=3))
         centers = np.concatenate([centers, np.asarray(far_c)])
         radii = np.concatenate([radii, np.asarray(far_r)])
