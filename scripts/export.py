@@ -39,9 +39,7 @@ def build_render_fn(config, checkpoint=None, seed=0):
     pipeline = PIPELINES.build(config.pipeline)
     params = pipeline.init(jax.random.PRNGKey(seed))
     if checkpoint:
-        from yanerf_tpu.runners import load_checkpoint
-
-        from yanerf_tpu.runners import create_optimizer, create_train_state
+        from yanerf_tpu.runners import create_optimizer, create_train_state, load_checkpoint
 
         state = create_train_state(params, create_optimizer(config.runner))
         params = load_checkpoint(checkpoint, state)["state"].params

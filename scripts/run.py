@@ -249,10 +249,22 @@ def main(args, config):
 
     start_epoch = 0
     if args.checkpoint:
-        restored = load_checkpoint(args.checkpoint, state)
-        state = restored["state"]
-        start_epoch = restored["epoch"] + 1
-        logger.info(f"Resumed checkpoint from: {args.checkpoint} (epoch {restored['epoch']})")
+        if str(args.checkpoint).endswith(".pth"):
+            # the reference's released torch checkpoints load directly:
+            # weights are mapped onto the param pytree (no optimizer state)
+            from yanerf_tpu.runners import TrainState, import_torch_checkpoint
+
+            imported, n_missing = import_torch_checkpoint(args.checkpoint, state.params)
+            state = TrainState(params=imported, opt_state=state.opt_state, step=state.step)
+            logger.info(
+                f"Imported reference .pth weights from: {args.checkpoint} "
+                f"({n_missing} unmapped tensors)"
+            )
+        else:
+            restored = load_checkpoint(args.checkpoint, state)
+            state = restored["state"]
+            start_epoch = restored["epoch"] + 1
+            logger.info(f"Resumed checkpoint from: {args.checkpoint} (epoch {restored['epoch']})")
 
     config.runner["hooks"] = [HOOKS.build(hook_cfg) for hook_cfg in (config.runner.get("hooks", []) or [])]
     logger.info(f"Hooks: {[type(h).__name__ for h in config.runner['hooks']]}")

@@ -337,6 +337,32 @@ def test_distortion_loss_prefers_concentrated_weights():
     np.testing.assert_allclose(l_scaled, l_spread, rtol=1e-5)
 
 
+def test_distortion_loss_disparity_spacing():
+    """With in_disparity, disparity-spaced samples see UNIFORM s-space bins.
+
+    Samples uniform in disparity over [1, 100] are wildly non-uniform in
+    metric t (far bins span tens of units); measured through g(t) = 1/t
+    they are uniform, so the loss must equal the metric-mode loss on a
+    uniform grid with the same weights (mip-NeRF 360 eq. 15's s-space).
+    """
+    from yanerf_tpu.ops.proposal import distortion_loss
+
+    n = 17
+    near, far = 1.0, 100.0
+    s = jnp.linspace(0.0, 1.0, n)
+    t_disp = 1.0 / (s * (1.0 / far - 1.0 / near) + 1.0 / near)  # disparity-spaced
+    t_uniform = jnp.linspace(0.0, 1.0, n)
+    w = jax.random.dirichlet(jax.random.PRNGKey(0), jnp.ones(n))[None]
+
+    l_disp = float(distortion_loss(t_disp[None], w, in_disparity=True)[0])
+    l_uniform_metric = float(distortion_loss(t_uniform[None], w)[0])
+    np.testing.assert_allclose(l_disp, l_uniform_metric, rtol=1e-4)
+
+    # without the flag, the far-dominated metric measure inflates the loss
+    l_disp_wrong = float(distortion_loss(t_disp[None], w)[0])
+    assert l_disp_wrong != pytest.approx(l_disp, rel=1e-2)
+
+
 def test_distortion_loss_flows_through_pipeline():
     cfg = _proposal_pipeline_cfg()
     cfg["loss_weights"]["loss_distortion"] = 0.01

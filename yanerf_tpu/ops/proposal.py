@@ -77,7 +77,9 @@ def interlevel_loss(
     return jnp.sum(excess * excess / (w + eps), axis=-1)
 
 
-def distortion_loss(lengths: jax.Array, weights: jax.Array) -> jax.Array:
+def distortion_loss(
+    lengths: jax.Array, weights: jax.Array, in_disparity: bool = False
+) -> jax.Array:
     """Per-ray distortion regularizer (mip-NeRF 360 eq. 15, PAPERS.md).
 
     Penalizes weight mass that is spread out along the ray — the "floaters
@@ -85,21 +87,31 @@ def distortion_loss(lengths: jax.Array, weights: jax.Array) -> jax.Array:
 
         L = sum_ij w_i w_j |m_i - m_j|  +  (1/3) sum_i w_i^2 delta_i
 
-    with ``m`` the interval midpoints and ``delta`` the interval widths,
-    both normalized to the ray's [near, far] span so the loss is scale-free
-    (the published formulation works in normalized s-space). Like
-    ``interlevel_loss`` this is one broadcast multiply-reduce over
-    ``(..., P, P)`` — no gathers, MXU/VPU-friendly.
+    with ``m`` the interval midpoints and ``delta`` the interval widths in
+    the published **normalized s-space**: s = (g(t) - g(near)) /
+    (g(far) - g(near)), where g is the ray-sampler's spacing function —
+    identity for metric sampling, g(t) = 1/t when depths were drawn
+    uniformly in disparity (``in_disparity=True``, matching the sampler's
+    ``sample_in_disparity``). Without the matching g, far intervals (huge
+    in metric t) would dominate the penalty on unbounded scenes and
+    over-regularize the background. Like ``interlevel_loss`` this is one
+    broadcast multiply-reduce over ``(..., P, P)`` — no gathers,
+    MXU/VPU-friendly.
 
     Args:
         lengths: ``(..., P)`` sorted depth samples.
         weights: ``(..., P)`` emission-absorption weights (the sentinel last
             weight is excluded, as in ``interlevel_loss``).
+        in_disparity: set when the depths are disparity-spaced so mids and
+            deltas are measured in the matching s coordinate.
 
     Returns:
         ``(...,)`` per-ray loss.
     """
     t_lo, t_hi, w = _intervals(jax.lax.stop_gradient(lengths), weights)
+    if in_disparity:
+        # g(t) = 1/t; flip so s still increases front-to-back along the ray
+        t_lo, t_hi = -1.0 / jnp.maximum(t_lo, 1e-9), -1.0 / jnp.maximum(t_hi, 1e-9)
     near = t_lo[..., :1]
     span = jnp.maximum(t_hi[..., -1:] - near, 1e-9)
     mids = (0.5 * (t_lo + t_hi) - near) / span

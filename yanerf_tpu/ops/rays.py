@@ -100,6 +100,11 @@ def xy_to_ray_bundle(
         max_d = jnp.mean(jnp.asarray(max_depth, dtype=dtype))
         t = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype)
         if sample_in_disparity:
+            # disparity spacing divides by the bounds; a non-positive near
+            # plane (the pointwise default in some blender configs) would
+            # silently yield inf/NaN depths — clamp to a tiny positive value
+            min_d = jnp.maximum(min_d, 1e-6)
+            max_d = jnp.maximum(max_d, min_d * (1.0 + 1e-6))
             depths = 1.0 / (t * (1.0 / max_d - 1.0 / min_d) + 1.0 / min_d)
         else:
             depths = t * (max_d - min_d) + min_d
@@ -179,6 +184,10 @@ def ndc_ray_bundle(
     # sign the rays actually face (a pure relabeling; the batch faces one way
     # by the forward-facing assumption NDC itself requires).
     s = jnp.sign(jnp.sum(directions[..., 2]))
+    # exactly-cancelling dz components would give s == 0 -> division by zero
+    # below; such a batch violates the forward-facing assumption anyway, so
+    # fall back to +z rather than emit NaNs
+    s = jnp.where(s == 0, 1.0, s)
 
     # Advance origins to the near plane (t = (near - s*oz) / (s*dz)).
     t_near = (near - s * origins[..., 2]) / (s * directions[..., 2])

@@ -225,8 +225,12 @@ class ProposalEmissionAbsorpsionRenderer:
         density_relu: bool = True,
         surface_thickness: int = 1,
         interlevel_loss_eps: float = 1e-7,
+        distortion_in_disparity: bool = False,
     ) -> None:
         self.density_noise_std_train = density_noise_std_train
+        # set alongside the ray sampler's sample_in_disparity so the
+        # distortion loss measures spread in the matching s coordinate
+        self.distortion_in_disparity = distortion_in_disparity
         self._final_cfg = {
             EvaluationMode.TRAINING: (n_pts_per_ray_final_training, stratified_sampling_training),
             EvaluationMode.EVALUATION: (n_pts_per_ray_final_evaluation, stratified_sampling_evaluation),
@@ -336,7 +340,9 @@ class ProposalEmissionAbsorpsionRenderer:
         aux["loss_proposal"] = loss
         # mip-NeRF 360's anti-floater regularizer over the final pass;
         # inert unless weighted via pipeline.loss_weights["loss_distortion"]
-        aux["loss_distortion"] = distortion_loss(lengths, weights)
+        aux["loss_distortion"] = distortion_loss(
+            lengths, weights, in_disparity=self.distortion_in_disparity
+        )
         return RendererOutput(
             features=features, depths=depths, alpha_masks=alpha_masks, aux=aux, prev_stage=None
         )

@@ -12,6 +12,7 @@ from .checkpoints import (
     ckpt_name,
     find_best_checkpoint,
     find_latest_checkpoint,
+    export_torch_checkpoint,
     import_torch_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -36,6 +37,7 @@ __all__ = [
     "find_latest_checkpoint",
     "PreemptionGuard",
     "wait_for_async_saves",
+    "export_torch_checkpoint",
     "import_torch_checkpoint",
     "load_checkpoint",
     "save_checkpoint",

@@ -262,6 +262,17 @@ def _train_one_epoch_fused(
     def is_vis_iter(it: int) -> bool:
         return bool(train_step_vis is not None and val_per_iter and it % val_per_iter == 0)
 
+    # the fused program specializes on K = group length; epoch tails and
+    # val_per_iter-truncated segments produce new K's, each a fresh compile
+    seen_group_sizes: set = set()
+
+    # XLA trace capture (cfg: profile_dir / profile_start_iter /
+    # profile_num_iters), same contract as the per-step loop
+    profile_dir = config.get("profile_dir") if epoch == 0 else None
+    profile_start = int(config.get("profile_start_iter", 5) or 5)
+    profile_len = int(config.get("profile_num_iters", 5) or 5)
+    profiling = False
+
     timer = Timer()
     last_losses: Dict[str, Any] = {}
     i = 0
@@ -270,6 +281,9 @@ def _train_one_epoch_fused(
             logger.info(f"{header}: preemption requested, stopping at iter {passed_iter + i}")
             break
         timer.since_last_check()
+        if profile_dir and not profiling and i >= profile_start:
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
         if is_vis_iter(passed_iter + i):
             # single unfused step with MC rasterization for the sanity dump
             idx_row = jnp.asarray(rows[i])
@@ -286,9 +300,23 @@ def _train_one_epoch_fused(
             j = i + 1
             while j < n and j - i < steps_per_call and not is_vis_iter(passed_iter + j):
                 j += 1
+            if j - i not in seen_group_sizes:
+                seen_group_sizes.add(j - i)
+                if len(seen_group_sizes) > 1:
+                    logger.info(
+                        f"{header}: fused dispatch group size K={j - i} is new "
+                        f"(seen: {sorted(seen_group_sizes)}) — compiling a fresh K-step program"
+                    )
             idx = jnp.asarray(np.stack(rows[i:j]))
             state, hist = train_step_fused(state, arrays, idx, rng)
             last_losses = {k: v[-1] for k, v in hist.items()}
+
+        if profiling and i + steps_per_call >= profile_start + profile_len:
+            jax.block_until_ready(last_losses.get("objective"))
+            jax.profiler.stop_trace()
+            profiling = False
+            profile_dir = None
+            logger.info(f"Wrote profiler trace to {config.get('profile_dir')}")
 
         crossed_print = any((passed_iter + t) % print_per_iter == 0 for t in range(i, j))
         if crossed_print:
@@ -304,6 +332,11 @@ def _train_one_epoch_fused(
             )
             logger.info(f"{header}: {log_string}")
         i = j
+
+    if profiling:
+        jax.block_until_ready(last_losses.get("objective"))
+        jax.profiler.stop_trace()
+        logger.info(f"Wrote profiler trace to {config.get('profile_dir')}")
 
     return state, create_stats(last_losses)
 

@@ -219,6 +219,52 @@ def import_torch_checkpoint(pth_path: Union[str, Path], params: Any) -> Any:
     return jax.tree_util.tree_map(jnp.asarray, params), n_missing
 
 
+def export_torch_checkpoint(params: Any, pth_path: Union[str, Path], epoch: int = -1) -> int:
+    """Write NeRFMLP params as a reference-layout ``.pth`` (importer inverse).
+
+    Produces the exact ``torch.save({"model": state_dict, "optimizer": {},
+    "epoch": e})`` layout the reference's ``save_model`` emits (ref
+    scripts/run.py:416-422), with module names as in its NeRFPipeline
+    (``implicit_functions.{i}._fn.xyz_encoder.mlp.{li}.0.weight`` etc.) and
+    weights transposed back to torch's ``(out, in)``. Covers the NeRFMLP
+    family (the only family with a reference analog); used to cross-validate
+    trained weights in the actual reference package and to smoke-test the
+    parity runbook without the released checkpoints.
+
+    Returns the number of tensors written.
+    """
+    import torch
+
+    sd = {}
+
+    def put(name: str, arr: np.ndarray) -> None:
+        arr = np.asarray(arr, dtype=np.float32)
+        if arr.ndim == 2:
+            arr = arr.T  # (in, out) -> torch Linear's (out, in)
+        sd[name] = torch.from_numpy(np.ascontiguousarray(arr))
+
+    for i, fn_params in enumerate(params["implicit_functions"]):
+        prefix = f"implicit_functions.{i}._fn."
+        if not (isinstance(fn_params, dict) and "xyz_encoder" in fn_params):
+            raise ValueError(
+                f"implicit function {i} is not a NeRFMLP param tree; only the "
+                "reference-analog family can be exported to .pth"
+            )
+        for li, layer in enumerate(fn_params["xyz_encoder"]["mlp"]):
+            put(f"{prefix}xyz_encoder.mlp.{li}.0.weight", layer["w"])
+            put(f"{prefix}xyz_encoder.mlp.{li}.0.bias", layer["b"])
+        for flat in ("intermediate_linear", "density_layer"):
+            put(f"{prefix}{flat}.weight", fn_params[flat]["w"])
+            put(f"{prefix}{flat}.bias", fn_params[flat]["b"])
+        # color Sequential: Linear layers at even slots (odd = activations)
+        for j, layer in enumerate(fn_params["color_layer"]):
+            put(f"{prefix}color_layer.{2 * j}.weight", layer["w"])
+            put(f"{prefix}color_layer.{2 * j}.bias", layer["b"])
+
+    torch.save({"model": sd, "optimizer": {}, "epoch": int(epoch)}, str(pth_path))
+    return len(sd)
+
+
 def find_best_checkpoint(output_dir: Union[str, Path]) -> Optional[Path]:
     best = Path(output_dir) / "ckpts" / ckpt_name(-1)
     return best if best.exists() else None
