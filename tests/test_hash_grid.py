@@ -220,3 +220,27 @@ def test_encode_grad_matches_plain_gather_formulation():
     lm = loss(tp)
     fd = (lp - lm) / (2 * eps)
     np.testing.assert_allclose(float(grads[0][probe]), float(fd), rtol=2e-2)
+
+
+def test_encode_chunked_matches_unchunked():
+    """The lax.map-chunked encode (fixed scatter shapes for the remote
+    compiler; docs/performance.md) is bit-equivalent to the one-shot path,
+    forward and backward, including the padded final chunk."""
+    m_chunked = _small_model(encode_chunk=64)
+    m_plain = _small_model(encode_chunk=0)
+    params = m_plain.init(jax.random.PRNGKey(0))
+    # 150 points -> 3 chunks of 64 with 42 rows of padding
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (150, 3), minval=-2.0, maxval=2.0)
+    ct = jax.random.normal(jax.random.PRNGKey(2), (150, m_plain.encoding_dim))
+
+    e_chunked = m_chunked.encode(params["tables"], pts)
+    e_plain = m_plain.encode(params["tables"], pts)
+    np.testing.assert_allclose(np.asarray(e_chunked), np.asarray(e_plain), atol=1e-7)
+
+    def loss(m):
+        return lambda tables: jnp.sum(m.encode(tables, pts) * ct)
+
+    g_chunked = jax.grad(loss(m_chunked))(params["tables"])
+    g_plain = jax.grad(loss(m_plain))(params["tables"])
+    for gc, gp in zip(g_chunked, g_plain):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), rtol=1e-5, atol=1e-6)

@@ -103,6 +103,7 @@ class HashGridNeRF:
         input_dir: bool = True,
         compute_dtype: str = "float32",
         contract_coords: bool = False,
+        encode_chunk: int = 1 << 20,
     ) -> None:
         self.n_levels = n_levels
         self.table_size = 1 << table_size_log2
@@ -121,6 +122,14 @@ class HashGridNeRF:
         self.input_dir = input_dir
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.latent_dim = 0  # pipeline contract parity with NeRFMLP
+        # Cap the POINT count any single gather/scatter lowering sees: the
+        # remote XLA compile helper crashes (apparent OOM) on the huge
+        # one-shot scatter lowerings some train/eval shapes produce
+        # (docs/performance.md "Hash-grid encodings on TPU"). Chunking the
+        # encode through lax.map means every shape compiles the SAME small
+        # fixed-size body — train 4096-32768 rays and 800px eval all reuse
+        # one known-good scatter shape. 0 disables chunking.
+        self.encode_chunk = int(encode_chunk)
 
         # dense (collision-free) below the hash threshold, hashed above
         self.level_table_sizes = [
@@ -179,9 +188,31 @@ class HashGridNeRF:
         return (h % np.uint32(self.level_table_sizes[level])).astype(jnp.int32)
 
     def encode(self, tables: List[jax.Array], points: jax.Array) -> jax.Array:
-        """Points (..., 3) in world space -> (..., L*F) interpolated features."""
+        """Points (..., 3) in world space -> (..., L*F) interpolated features.
+
+        Large point sets run through ``lax.map`` over fixed
+        ``encode_chunk``-point chunks (see ``__init__``): one compiled
+        gather/scatter body shape for every ray-count/eval shape, with the
+        table cotangents accumulated across chunks by the scan transpose.
+        """
         lead = points.shape[:-1]
         flat = points.reshape(-1, 3)
+        n = flat.shape[0]
+        chunk = self.encode_chunk
+        if chunk and n > chunk:
+            n_chunks = -(-n // chunk)
+            pad = n_chunks * chunk - n
+            padded = jnp.pad(flat, ((0, pad), (0, 0)))
+            out = jax.lax.map(
+                lambda x: self._encode_flat(tables, x),
+                padded.reshape(n_chunks, chunk, 3),
+            ).reshape(n_chunks * chunk, self.encoding_dim)[:n]
+        else:
+            out = self._encode_flat(tables, flat)
+        return out.reshape(*lead, self.encoding_dim)
+
+    def _encode_flat(self, tables: List[jax.Array], flat: jax.Array) -> jax.Array:
+        """The unchunked encode body over (N, 3) points -> (N, L*F)."""
         # normalize into [0, 1]^3 over the scene AABB
         x01 = jnp.clip((flat + self.scene_bound) / (2.0 * self.scene_bound), 0.0, 1.0)
 
@@ -203,7 +234,7 @@ class HashGridNeRF:
             w = jnp.where(offsets[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
             w = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
             feats.append(jnp.sum(rows * w[..., None], axis=1))  # (N, F)
-        return jnp.concatenate(feats, axis=-1).reshape(*lead, self.encoding_dim)
+        return jnp.concatenate(feats, axis=-1)
 
     # -- apply ------------------------------------------------------------------
     def apply(
