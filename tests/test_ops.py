@@ -385,3 +385,24 @@ def test_ndc_ray_bundle_handles_minus_z_facing_rays():
     ndc_flipped = ops.ndc_ray_bundle(flipped, W, H, focal, near=near)
     np.testing.assert_allclose(np.asarray(ndc_flipped.origins), o, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ndc_flipped.directions), d, atol=1e-5)
+
+
+def test_weighted_sample_with_replacement_distribution():
+    """Inverse-CDF replacement sampling follows the weights and respects
+    zero-weight exclusion (the cheap throughput alternative to Gumbel
+    top-k; ops/sampling.py)."""
+    from yanerf_tpu.ops.sampling import weighted_sample_with_replacement
+
+    w = jnp.asarray([[0.0, 1.0, 3.0, 0.0, 1.0]])
+    idx = weighted_sample_with_replacement(jax.random.PRNGKey(0), w, 4000)
+    assert idx.shape == (1, 4000)
+    counts = np.bincount(np.asarray(idx[0]), minlength=5)
+    assert counts[0] == 0 and counts[3] == 0  # zero-weight never sampled
+    np.testing.assert_allclose(counts[2] / counts[1], 3.0, rtol=0.25)
+    np.testing.assert_allclose(counts[4] / counts[1], 1.0, rtol=0.25)
+
+    # uniform rows cover the domain roughly evenly
+    wu = jnp.ones((2, 64))
+    idxu = weighted_sample_with_replacement(jax.random.PRNGKey(1), wu, 2000)
+    for row in np.asarray(idxu):
+        assert len(np.unique(row)) > 55

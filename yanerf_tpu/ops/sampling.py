@@ -54,6 +54,28 @@ def weighted_sample_without_replacement(
     return idx.astype(jnp.int32)
 
 
+def weighted_sample_with_replacement(
+    rng: jax.Array, weights: jax.Array, num_samples: int
+) -> jax.Array:
+    """Sample ``num_samples`` indices per row WITH replacement (inverse CDF).
+
+    The cheap throughput alternative to the Gumbel top-k: a cumulative-sum
+    over the weights plus a vectorized ``searchsorted`` of ``num_samples``
+    uniforms — no 640k-key sort (the profiled ~1.2 ms/step of the exact and
+    approximate top-k paths, benchmarks/r3_proposal_profile.py). Sampling
+    pixels with replacement re-draws a duplicate ray with probability
+    ~k/(2N) per sample (~0.3% at 4096 of 640k) — the reference itself falls
+    back to with-replacement sampling when short of mask pixels
+    (ref ray_sampler.py:342-358). Opt in via ``ray_sampler.pixel_replacement``.
+    """
+    cdf = jnp.cumsum(weights, axis=-1)
+    total = cdf[..., -1:]
+    u = jax.random.uniform(rng, (*weights.shape[:-1], num_samples), dtype=weights.dtype)
+    # searchsorted per row: first index with cdf >= u * total
+    idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q))(cdf, u * total)
+    return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)
+
+
 def sample_grid(tensor: jax.Array, image_sampling_grid: jax.Array) -> jax.Array:
     """Gather image values at integer pixel coordinates.
 

