@@ -32,7 +32,7 @@ class W(NamedTuple):
     image_rgb: object
 
 
-def ngp_pipeline(n_rays, image_hw=800, encode_chunk=1 << 20, chunk_size_grid=131072):
+def ngp_pipeline(n_rays, image_hw=800, encode_chunk=1 << 17, chunk_size_grid=131072):
     """lego_ngp.yml's architecture (16 levels, 2^19 tables, 64-wide MLPs)."""
     from yanerf_tpu.pipelines import PIPELINES
 

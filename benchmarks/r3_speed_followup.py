@@ -78,9 +78,46 @@ def main():
         except Exception as e:
             log(f"TRAIN {label} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
-    # eval full budget re-measure (bench anomaly check) at chunks 2M/4M
+    # eval fps ladder at 4M chunks: full budget (39.65 PSNR on the trained
+    # model, results/eval_frontier.json), 48-48-24 (39.53), 32-32-16
+    # (39.32) — the VERDICT #7 target is >=2 fps in the 39.5-PSNR class.
+    # Budgets are eval-only knobs on an unchanged checkpoint.
     poses_np, focals_np, _ = _example_batch(1, 800)
     poses_j, focals_j = jnp.asarray(poses_np), jnp.asarray(focals_np)
+    for label, budget in (("64-64-32", (64, 64, 32)), ("48-48-24", (48, 48, 24)),
+                          ("32-32-16", (32, 32, 16))):
+        try:
+            p = build_pipeline(levels=2, prop_pts=(64, 64))
+            p.chunk_size_grid = 4194304
+            s0, s1, fin = budget
+            for rs in p.ray_sampler._raysamplers.values():
+                rs.n_pts_per_ray = s0
+            from yanerf_tpu.ops.structures import EvaluationMode as EM
+            p.renderer._intermediate_cfg[EM.EVALUATION] = (s1,)
+            p.renderer._final_cfg[EM.EVALUATION] = (fin, False)
+            params = p.init(jax.random.PRNGKey(0))
+
+            def render_fn(params, rng, poses, focals):
+                return p.forward(params, rng, poses=poses, focal_lengths=focals,
+                                 evaluation_mode=EvaluationMode.EVALUATION)["rendered_images"]
+
+            render = jax.jit(render_fn)
+            rngk = jax.random.PRNGKey(1)
+            np.asarray(render(params, rngk, poses_j, focals_j))
+            n_frames = 6
+            t0 = time.perf_counter()
+            pending = render(params, jax.random.fold_in(rngk, 0), poses_j, focals_j)
+            for i in range(1, n_frames):
+                nxt = render(params, jax.random.fold_in(rngk, i), poses_j, focals_j)
+                np.asarray(pending)
+                pending = nxt
+            np.asarray(pending)
+            dt = (time.perf_counter() - t0) / n_frames
+            log(f"EVAL budget {label} chunk=4M pipelined: {dt:.3f}s/frame = {1/dt:.3f} fps")
+        except Exception as e:
+            log(f"EVAL budget {label} FAILED: {type(e).__name__}: {str(e)[:300]}")
+
+    # eval full budget re-measure (bench anomaly check) at chunks 2M/4M
     for chunk in (2097152, 4194304):
         try:
             p = build_pipeline(levels=2, prop_pts=(64, 64))

@@ -103,7 +103,7 @@ class HashGridNeRF:
         input_dir: bool = True,
         compute_dtype: str = "float32",
         contract_coords: bool = False,
-        encode_chunk: int = 1 << 20,
+        encode_chunk: int = 1 << 17,
     ) -> None:
         self.n_levels = n_levels
         self.table_size = 1 << table_size_log2
@@ -127,8 +127,11 @@ class HashGridNeRF:
         # one-shot scatter lowerings some train/eval shapes produce
         # (docs/performance.md "Hash-grid encodings on TPU"). Chunking the
         # encode through lax.map means every shape compiles the SAME small
-        # fixed-size body — train 4096-32768 rays and 800px eval all reuse
-        # one known-good scatter shape. 0 disables chunking.
+        # fixed-size body. 2^17 points puts every flagship shape (train
+        # 4096 rays x 64/192 pts, 800px eval chunks) above the threshold —
+        # a 4096x192-ray train step measured the 786k-point one-shot
+        # lowering crashing while the chunked body compiled (r3_ngp logs).
+        # 0 disables chunking.
         self.encode_chunk = int(encode_chunk)
 
         # dense (collision-free) below the hash threshold, hashed above
