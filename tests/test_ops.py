@@ -406,3 +406,20 @@ def test_weighted_sample_with_replacement_distribution():
     idxu = weighted_sample_with_replacement(jax.random.PRNGKey(1), wu, 2000)
     for row in np.asarray(idxu):
         assert len(np.unique(row)) > 55
+
+
+def test_calc_ssim_properties():
+    from yanerf_tpu.ops.metrics import calc_ssim
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    np.testing.assert_allclose(np.asarray(calc_ssim(x, x)), 1.0, atol=1e-5)
+
+    noisy = jnp.clip(x + 0.2 * jax.random.normal(jax.random.PRNGKey(1), x.shape), 0, 1)
+    s_noisy = np.asarray(calc_ssim(x, noisy))
+    assert (s_noisy < 0.95).all() and (s_noisy > 0.0).all()
+
+    # invariant to a common luminance shift up to the C terms; sensitive to
+    # structure destruction (shuffled pixels score far lower)
+    perm = jax.random.permutation(jax.random.PRNGKey(2), 32 * 32)
+    shuffled = x.reshape(2, -1, 3)[:, perm].reshape(x.shape)
+    assert np.asarray(calc_ssim(x, shuffled)).max() < 0.2

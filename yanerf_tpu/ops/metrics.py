@@ -108,6 +108,53 @@ def eval_depth(
     return mse_depth, abs_depth
 
 
+def calc_ssim(
+    x: jax.Array,
+    y: jax.Array,
+    max_val: float = 1.0,
+    filter_size: int = 11,
+    filter_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Per-sample SSIM over ``(B, H, W, C)`` images (Wang et al. 2004).
+
+    The standard NeRF evaluation metric alongside PSNR (the reference
+    reports PSNR only). Separable Gaussian windows via two 1-D
+    convolutions with channels folded into the batch — VPU/MXU-friendly,
+    no gathers. Returns ``(B,)`` mean SSIM.
+    """
+    b, h, w, c = x.shape
+    hw = filter_size // 2
+    offsets = jnp.arange(filter_size, dtype=jnp.float32) - hw
+    kernel = jnp.exp(-0.5 * (offsets / filter_sigma) ** 2)
+    kernel = kernel / jnp.sum(kernel)
+
+    def blur(img):
+        # (B, H, W, C) -> depthwise separable gaussian, VALID padding
+        flat = jnp.moveaxis(img, -1, 1).reshape(b * c, 1, h, w)
+        k_row = kernel.reshape(1, 1, 1, filter_size)
+        k_col = kernel.reshape(1, 1, filter_size, 1)
+        out = jax.lax.conv_general_dilated(flat, k_row, (1, 1), "VALID")
+        out = jax.lax.conv_general_dilated(out, k_col, (1, 1), "VALID")
+        return out.reshape(b, c, h - 2 * hw, w - 2 * hw)
+
+    x32 = jnp.moveaxis(x.astype(jnp.float32), 0, 0)
+    y32 = y.astype(jnp.float32)
+    mu_x, mu_y = blur(x32), blur(y32)
+    mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_xx = blur(x32 * x32) - mu_xx
+    sigma_yy = blur(y32 * y32) - mu_yy
+    sigma_xy = blur(x32 * y32) - mu_xy
+
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    ssim_map = ((2.0 * mu_xy + c1) * (2.0 * sigma_xy + c2)) / (
+        (mu_xx + mu_yy + c1) * (sigma_xx + sigma_yy + c2)
+    )
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
 def view_metrics(
     image_sampling_grid: jax.Array,
     images: Optional[jax.Array] = None,
@@ -133,6 +180,14 @@ def view_metrics(
     preds: Dict[str, jax.Array] = {}
     if images is not None and images_pred is not None:
         preds.update(rgb_metrics(images, images_pred, loss_reweight_masks))
+        # SSIM only makes sense on full image grids (FULL_GRID eval, where
+        # spatial is (H, W)); MASK_SAMPLE predictions are (N, 1)-shaped
+        if (
+            images_pred.ndim == 4
+            and images_pred.shape[1] >= 11
+            and images_pred.shape[2] >= 11
+        ):
+            preds["rgb_ssim"] = calc_ssim(images_pred, images)
     if depths is not None and depths_pred is not None:
         _, abs_depth = eval_depth(depths_pred, depths, get_best_scale=True, mask=None, crop=0)
         preds["depth_abs"] = abs_depth

@@ -68,12 +68,27 @@ def weighted_sample_with_replacement(
     back to with-replacement sampling when short of mask pixels
     (ref ray_sampler.py:342-358). Opt in via ``ray_sampler.pixel_replacement``.
     """
+    if weights is None:
+        raise ValueError("use uniform_sample_with_replacement for the uniform case")
     cdf = jnp.cumsum(weights, axis=-1)
     total = cdf[..., -1:]
     u = jax.random.uniform(rng, (*weights.shape[:-1], num_samples), dtype=weights.dtype)
     # searchsorted per row: first index with cdf >= u * total
     idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q))(cdf, u * total)
     return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)
+
+
+def uniform_sample_with_replacement(
+    rng: jax.Array, batch_size: int, n: int, num_samples: int
+) -> jax.Array:
+    """Uniform index sampling with replacement — a bare ``randint``.
+
+    The no-mask case (e.g. the lego schedule) needs no weighting at all:
+    ``randint`` costs microseconds where even the cumsum+searchsorted
+    inverse CDF spends ~0.9 ms on 640k-pixel rows (and the Gumbel top-k
+    ~1.2 ms, benchmarks/r3_speed_followup.py).
+    """
+    return jax.random.randint(rng, (batch_size, num_samples), 0, n, dtype=jnp.int32)
 
 
 def sample_grid(tensor: jax.Array, image_sampling_grid: jax.Array) -> jax.Array:

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from yanerf_tpu.ops.rays import get_min_max_depth_bounds, get_xy_grid, ndc_ray_bundle, xy_to_ray_bundle
-from yanerf_tpu.ops.sampling import weighted_sample_with_replacement, weighted_sample_without_replacement
+from yanerf_tpu.ops.sampling import (
+    uniform_sample_with_replacement,
+    weighted_sample_with_replacement,
+    weighted_sample_without_replacement,
+)
 from yanerf_tpu.ops.structures import EvaluationMode, RayBundle, RenderSamplingMode
 
 from .builder import RAY_SAMPLERS
@@ -95,6 +99,7 @@ class _RaySampler:
         if num_rays is not None:
             if rng is None:
                 raise ValueError("Monte-Carlo ray sampling requires an rng key")
+            uniform = mask is None and sampling_prob_mask is None
             if mask is not None:
                 assert mask.shape == xy_grid.shape[:3], f"{mask.shape} vs {xy_grid.shape[:3]}"
                 weights = mask.reshape(batch_size, -1)
@@ -127,10 +132,13 @@ class _RaySampler:
                     )
 
             def select(key, w, n):
-                # pixel_replacement: cumsum+searchsorted instead of the
+                # pixel_replacement: replacement sampling instead of the
                 # 640k-key (approx) top-k sort — the profiled throughput
-                # option (ops/sampling.py)
+                # option (ops/sampling.py); the uniform (no-mask) case is
+                # a bare randint
                 if self.pixel_replacement:
+                    if uniform:
+                        return uniform_sample_with_replacement(key, w.shape[0], w.shape[-1], n)
                     return weighted_sample_with_replacement(key, w, n)
                 return weighted_sample_without_replacement(key, w, n, approx=self.approx_top_k)
 

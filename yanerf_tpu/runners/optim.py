@@ -58,13 +58,13 @@ def create_optimizer(runner_config, params: Optional[Any] = None) -> optax.Gradi
     decay settings, plus optional ``lr_param_groups`` entries with
     ``prefix`` and ``base`` (lr multiplier) fields.
 
-    Without param groups the transform is wrapped in ``optax.flatten``: the
-    per-leaf Adam update of the ~30-leaf NeRF pytree compiles to ~30 small
-    latency-bound fusions (profiled at ~1.4 ms/step of the 14 ms proposal
-    train step, benchmarks/r3_proposal_profile.py); on one flat vector the
-    same math is a couple of full-bandwidth elementwise passes. Disable
-    with ``runner.flatten_optimizer: false`` (e.g. to restore an opt_state
-    checkpointed by an earlier unflattened run).
+    ``runner.flatten_optimizer: true`` wraps the no-groups transform in
+    ``optax.flatten`` (one flat-vector Adam update instead of per-leaf
+    fusions). Measured on the proposal flagship it is a wash — 14.16 vs
+    14.20 ms/step (benchmarks/r3_speed_followup.py): XLA already overlaps
+    the per-leaf updates, so the trace's per-leaf fusion time was not
+    critical-path. Default off, since flattening changes the checkpointed
+    opt_state layout.
     """
     logger = get_logger(__name__)
     weight_decay = float(runner_config.get("weight_decay", 0.0) or 0.0)
@@ -72,7 +72,7 @@ def create_optimizer(runner_config, params: Optional[Any] = None) -> optax.Gradi
 
     if not groups:
         chain = _adam_chain(create_lr_schedule(runner_config), weight_decay)
-        if runner_config.get("flatten_optimizer", True):
+        if runner_config.get("flatten_optimizer", False):
             chain = optax.flatten(chain)
         return chain
 
