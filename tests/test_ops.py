@@ -423,3 +423,58 @@ def test_calc_ssim_properties():
     perm = jax.random.permutation(jax.random.PRNGKey(2), 32 * 32)
     shuffled = x.reshape(2, -1, 3)[:, perm].reshape(x.shape)
     assert np.asarray(calc_ssim(x, shuffled)).max() < 0.2
+
+
+def _ssim_numpy_reference(x, y, filter_size=11, filter_sigma=1.5, k1=0.01, k2=0.03):
+    """Float64 Wang et al. 2004 SSIM with exact separable Gaussian windows."""
+    off = np.arange(filter_size, dtype=np.float64) - filter_size // 2
+    k = np.exp(-0.5 * (off / filter_sigma) ** 2)
+    k /= k.sum()
+
+    def blur(img):  # (B,H,W,C), VALID
+        out = np.apply_along_axis(lambda r: np.convolve(r, k, mode="valid"), 2, img)
+        return np.apply_along_axis(lambda c_: np.convolve(c_, k, mode="valid"), 1, out)
+
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    mu_x, mu_y = blur(x), blur(y)
+    s_xx = blur(x * x) - mu_x**2
+    s_yy = blur(y * y) - mu_y**2
+    s_xy = blur(x * y) - mu_x * mu_y
+    c1, c2 = k1**2, k2**2
+    ssim_map = ((2 * mu_x * mu_y + c1) * (2 * s_xy + c2)) / (
+        (mu_x**2 + mu_y**2 + c1) * (s_xx + s_yy + c2)
+    )
+    return ssim_map.mean(axis=(1, 2, 3))
+
+
+def test_calc_ssim_matches_numpy_reference_and_is_bounded():
+    """Regression for the TPU conv-precision bug: with default (bf16-operand)
+    conv precision, the windowed variances ``blur(x*x) - mu**2`` cancel
+    catastrophically on flat image regions, and real eval frames logged
+    "SSIM" up to 4.3. calc_ssim pins ``Precision.HIGHEST``; this test pins
+    the math against a float64 numpy reference on exactly that adversarial
+    content (a flat near-1.0 background), plus the |SSIM| <= 1 bound that
+    the broken precision violates.
+    """
+    from yanerf_tpu.ops.metrics import calc_ssim
+
+    rng = np.random.default_rng(0)
+    # white background + object patch, tiny noise: flat regions make the
+    # variance cancellation maximally ill-conditioned
+    gt = np.ones((1, 64, 64, 3), np.float32)
+    gt[0, 24:40, 24:40] = 0.3
+    pred = np.clip(gt + rng.normal(0, 0.005, gt.shape), 0, 1).astype(np.float32)
+
+    ours = np.asarray(calc_ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    ref = _ssim_numpy_reference(pred, gt)
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+    assert (np.abs(ours) <= 1.0 + 1e-4).all()
+
+    # and on generic content
+    x = rng.random((2, 48, 48, 3)).astype(np.float32)
+    yv = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+    ours = np.asarray(calc_ssim(jnp.asarray(x), jnp.asarray(yv)))
+    ref = _ssim_numpy_reference(x, yv)
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+    assert (np.abs(ours) <= 1.0 + 1e-4).all()

@@ -135,11 +135,19 @@ def calc_ssim(
         flat = jnp.moveaxis(img, -1, 1).reshape(b * c, 1, h, w)
         k_row = kernel.reshape(1, 1, 1, filter_size)
         k_col = kernel.reshape(1, 1, filter_size, 1)
-        out = jax.lax.conv_general_dilated(flat, k_row, (1, 1), "VALID")
-        out = jax.lax.conv_general_dilated(out, k_col, (1, 1), "VALID")
+        # HIGHEST precision: TPU convs otherwise run operands in bf16 on the
+        # MXU, and the windowed variances below (blur(x*x) - mu^2) cancel
+        # catastrophically — measured SSIM "values" up to 4.3 on real eval
+        # frames before this was pinned. SSIM is a metric; it must be f32.
+        out = jax.lax.conv_general_dilated(
+            flat, k_row, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+        )
+        out = jax.lax.conv_general_dilated(
+            out, k_col, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+        )
         return out.reshape(b, c, h - 2 * hw, w - 2 * hw)
 
-    x32 = jnp.moveaxis(x.astype(jnp.float32), 0, 0)
+    x32 = x.astype(jnp.float32)
     y32 = y.astype(jnp.float32)
     mu_x, mu_y = blur(x32), blur(y32)
     mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
