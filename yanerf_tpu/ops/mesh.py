@@ -1,0 +1,234 @@
+"""Density-field iso-surface extraction: grid evaluation + naive surface nets.
+
+A serving/debugging capability the reference framework does not have (its
+only consumers of a trained model are ``--test_only`` eval and PNG dumps):
+turn any trained implicit function into a watertight polygon mesh.
+
+TPU-first split of responsibilities:
+
+* ``evaluate_density_grid`` — the FLOP-heavy part. Batches the model's
+  density head over an ``R^3`` lattice through the model family's public
+  ray contract (``apply(params, origins, directions, lengths)`` with
+  ``lengths == 0`` so points == origins; same duck-typed signature as the
+  renderer, reference models/nerf_mlp.py:117-177), chunked with
+  ``lax.map`` into one fixed-shape XLA program — identical structure to
+  the eval renderer's chunking, so it runs on TPU or CPU unchanged.
+* ``surface_nets`` — the irregular part (variable vertex/face counts:
+  fundamentally dynamic shapes, wrong for XLA). Vectorized numpy on host.
+  Naive surface nets (Gibson 1998) instead of marching cubes: no case
+  tables, one vertex per sign-crossing cell at the mean of its edge
+  crossings, one quad per sign-crossing lattice edge — closed meshes on
+  closed surfaces, ~1/2 the faces of marching cubes, and trivially
+  verifiable geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def evaluate_density_grid(
+    model: Any,
+    params: Dict[str, Any],
+    resolution: int = 128,
+    bounds: Tuple[float, float] = (-1.5, 1.5),
+    chunk: int = 65536,
+    density_activation: Optional[Callable] = None,
+) -> np.ndarray:
+    """Evaluate ``model``'s density on a ``resolution^3`` lattice.
+
+    Args:
+        model: any registered model family instance (NeRFMLP, HashGridNeRF,
+            ProposalMLP) — anything with the ``apply(params, origins,
+            directions, lengths) -> {"rays_densities": ...}`` contract.
+        params: its parameter pytree.
+        resolution: lattice points per axis.
+        bounds: ``(lo, hi)`` of the cube to sample (the mesh lives in model
+            coordinates; blender-synthetic scenes sit inside ~[-1.5, 1.5]^3).
+        chunk: lattice points per ``lax.map`` step (fixed-shape program).
+        density_activation: raw-density -> sigma map. Default: ``relu``,
+            matching the emission-absorption raymarcher's activation
+            (ops/raymarch.py; reference mpear.py:206-207).
+
+    Returns:
+        ``(resolution, resolution, resolution)`` float32 numpy array of
+        activated densities, index order [ix, iy, iz].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lo, hi = float(bounds[0]), float(bounds[1])
+    axis = np.linspace(lo, hi, resolution, dtype=np.float32)
+    pts = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), axis=-1).reshape(-1, 3)
+
+    n = pts.shape[0]
+    chunk = int(min(chunk, n))
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
+    pts = pts.reshape(n_chunks, chunk, 3)
+
+    if density_activation is None:
+        density_activation = jax.nn.relu
+
+    def density_chunk(points):
+        # (chunk, 3) -> (chunk,) via the ray contract: one zero-length
+        # sample per "ray" puts the sample point exactly at the origin
+        origins = points[None]  # (1, chunk, 3)
+        directions = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], points.dtype), origins.shape)
+        lengths = jnp.zeros((1, points.shape[0], 1), points.dtype)
+        out = model.apply(params, origins, directions, lengths)
+        return density_activation(out["rays_densities"][0, :, 0, 0].astype(jnp.float32))
+
+    grid = jax.jit(lambda p: jax.lax.map(density_chunk, p))(jnp.asarray(pts))
+    grid = np.asarray(grid).reshape(-1)[:n]
+    return grid.reshape(resolution, resolution, resolution)
+
+
+def surface_nets(
+    grid: np.ndarray,
+    iso: float,
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the ``density == iso`` surface as a quad mesh.
+
+    Vectorized naive surface nets: each lattice cell crossed by the surface
+    gets ONE vertex at the mean of its (linearly interpolated) edge
+    crossings; each sign-crossing lattice edge interior to the grid emits
+    one quad over the 4 cells sharing it, wound so face normals point
+    toward decreasing density (outward for a solid object).
+
+    Args:
+        grid: ``(Nx, Ny, Nz)`` scalar field, indexed [ix, iy, iz].
+        iso: iso-value of the extracted level set.
+        origin: world position of grid index (0, 0, 0).
+        spacing: world step per index along each axis.
+
+    Returns:
+        ``verts (V, 3) float32`` world-space positions and
+        ``faces (F, 4) int32`` quads (indices into verts). Both empty when
+        the surface does not intersect the grid.
+    """
+    if grid.ndim != 3:
+        raise ValueError(f"grid must be 3-D, got {grid.shape}")
+    d = grid.astype(np.float64) - float(iso)
+    inside = d > 0
+    nx, ny, nz = grid.shape
+    if min(nx, ny, nz) < 2:
+        raise ValueError(f"grid must be >= 2 per axis, got {grid.shape}")
+    cells = (nx - 1, ny - 1, nz - 1)
+
+    vert_sum = np.zeros(cells + (3,), np.float64)
+    vert_cnt = np.zeros(cells, np.int32)
+
+    # one pass per edge family (edges along axis `ax`); crossing fraction t
+    # by linear interpolation, crossing position accumulated into the <=4
+    # cells sharing the edge via shifted-slice adds (no scatter needed)
+    crossings = {}
+    for ax in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(None, -1)
+        hi[ax] = slice(1, None)
+        d0, d1 = d[tuple(lo)], d[tuple(hi)]
+        cross = inside[tuple(lo)] != inside[tuple(hi)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(cross, d0 / (d0 - d1), 0.0)
+        # edge (i,j,k) of family `ax` starts at lattice point (i,j,k);
+        # crossing position in index space:
+        idx = np.indices(cross.shape).astype(np.float64)
+        pos = np.moveaxis(idx, 0, -1)
+        pos[..., ax] += t
+        crossings[ax] = cross
+        w = cross.astype(np.float64)
+        pos_w = pos * w[..., None]
+        # cells sharing this edge: offsets over the two non-edge axes
+        ax_a, ax_b = [a for a in range(3) if a != ax]
+        for da in (0, 1):
+            for db in (0, 1):
+                sl = [slice(None)] * 3
+                # cell index = edge index - offset along the transverse axes;
+                # valid cells are a (cells) shaped window of the edge array
+                sl[ax_a] = slice(da, da + cells[ax_a])
+                sl[ax_b] = slice(db, db + cells[ax_b])
+                sl[ax] = slice(0, cells[ax])
+                vert_sum += pos_w[tuple(sl)]
+                vert_cnt += w[tuple(sl)].astype(np.int32)
+
+    active = vert_cnt > 0
+    n_verts = int(active.sum())
+    if n_verts == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 4), np.int32)
+
+    cell_to_vert = np.full(cells, -1, np.int64)
+    cell_to_vert[active] = np.arange(n_verts)
+    verts_idx_space = vert_sum[active] / vert_cnt[active][:, None]
+    verts = (np.asarray(origin, np.float64) + verts_idx_space * np.asarray(spacing, np.float64)).astype(
+        np.float32
+    )
+
+    # faces: every crossing edge whose 4 surrounding cells all exist (i.e.
+    # the edge is interior along both transverse axes) emits one quad
+    faces = []
+    for ax in range(3):
+        cross = crossings[ax]
+        ax_a, ax_b = [a for a in range(3) if a != ax]
+        sl = [slice(None)] * 3
+        sl[ax] = slice(0, cells[ax])
+        sl[ax_a] = slice(1, cells[ax_a])
+        sl[ax_b] = slice(1, cells[ax_b])
+        interior = cross[tuple(sl)]
+        if not interior.any():
+            continue
+        # orientation: edge start inside -> surface crossed going +ax ->
+        # outward normal along +ax
+        lo = [slice(None)] * 3
+        lo[ax] = slice(None, -1)
+        start_inside = inside[tuple(lo)][tuple(sl)]
+        # argwhere indices are in the sliced array's axis order == the
+        # original (ax0, ax1, ax2); the transverse slices started at 1
+        e = np.argwhere(interior)
+        full = e.astype(np.int64)
+        full[:, ax_a] += 1
+        full[:, ax_b] += 1
+
+        def vid(offset_a, offset_b):
+            idx = full.copy()
+            idx[:, ax_a] -= offset_a
+            idx[:, ax_b] -= offset_b
+            return cell_to_vert[idx[:, 0], idx[:, 1], idx[:, 2]]
+
+        # quad around the edge in the (ax_a, ax_b) plane; that traversal is
+        # counter-clockwise seen from +ax only when (ax, ax_a, ax_b) is an
+        # even permutation of (0, 1, 2) — for ax == 1 it is odd, so swap
+        v00, v10, v11, v01 = vid(1, 1), vid(0, 1), vid(0, 0), vid(1, 0)
+        quad_ccw = np.stack([v00, v10, v11, v01], axis=1)
+        quad_cw = quad_ccw[:, ::-1]
+        if ax == 1:
+            quad_ccw, quad_cw = quad_cw, quad_ccw
+        flip = start_inside[e[:, 0], e[:, 1], e[:, 2]]
+        faces.append(np.where(flip[:, None], quad_ccw, quad_cw))
+
+    faces = np.concatenate(faces, axis=0).astype(np.int32) if faces else np.zeros((0, 4), np.int32)
+    return verts, faces
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Write a (quad) mesh as Wavefront OBJ (1-indexed faces)."""
+    with open(path, "w") as f:
+        f.write(f"# yanerf_tpu surface-nets mesh: {len(verts)} verts, {len(faces)} quads\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for q in faces:
+            f.write(f"f {q[0] + 1} {q[1] + 1} {q[2] + 1} {q[3] + 1}\n")
+
+
+def triangulate(faces: np.ndarray) -> np.ndarray:
+    """Split quads (F, 4) into triangles (2F, 3) along the 0-2 diagonal."""
+    if faces.size == 0:
+        return np.zeros((0, 3), faces.dtype if faces.size else np.int32)
+    return np.concatenate([faces[:, [0, 1, 2]], faces[:, [0, 2, 3]]], axis=0)
