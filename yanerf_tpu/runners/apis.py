@@ -263,8 +263,13 @@ def _train_one_epoch_fused(
         return bool(train_step_vis is not None and val_per_iter and it % val_per_iter == 0)
 
     # the fused program specializes on K = group length; epoch tails and
-    # val_per_iter-truncated segments produce new K's, each a fresh compile
-    seen_group_sizes: set = set()
+    # val_per_iter-truncated segments produce new K's, each a fresh compile.
+    # The jit cache lives on train_step_fused and outlives this per-epoch
+    # call, so the seen-set must too (else every epoch re-logs "K is new"
+    # for sizes that were compiled long ago).
+    if not hasattr(train_step_fused, "_seen_group_sizes"):
+        train_step_fused._seen_group_sizes = set()
+    seen_group_sizes: set = train_step_fused._seen_group_sizes
 
     # XLA trace capture (cfg: profile_dir / profile_start_iter /
     # profile_num_iters), same contract as the per-step loop
