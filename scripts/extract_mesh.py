@@ -35,6 +35,8 @@ def main():
     parser.add_argument("--bounds", type=float, nargs=2, default=(-1.5, 1.5),
                         help="lo hi of the sampled cube in model coordinates")
     parser.add_argument("--chunk", type=int, default=65536)
+    parser.add_argument("--vertex_colors", action="store_true",
+                        help="query the color head at each vertex (view = -normal) and write a colored OBJ")
     parser.add_argument("--device", default=None, choices=["tpu", "cpu"],
                         help="force a backend (cpu needed on machines whose sitecustomize pins a device)")
     parser.add_argument("--cfg_options", nargs="+", action=DictAction)
@@ -45,7 +47,13 @@ def main():
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from yanerf_tpu.ops.mesh import evaluate_density_grid, save_obj, surface_nets
+    from yanerf_tpu.ops.mesh import (
+        evaluate_density_grid,
+        evaluate_vertex_colors,
+        save_obj,
+        surface_nets,
+        vertex_normals,
+    )
     from yanerf_tpu.pipelines import PIPELINES
 
     config = Config.fromfile(args.config)
@@ -83,8 +91,15 @@ def main():
     verts, faces = surface_nets(grid, iso=args.iso, origin=(lo, lo, lo), spacing=(spacing,) * 3)
     if len(verts) == 0:
         print(f"WARNING: iso {args.iso} does not intersect the field — empty mesh written")
-    save_obj(args.out, verts, faces)
-    print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} quads")
+    colors = None
+    if args.vertex_colors and len(verts):
+        print("querying vertex colors (view = -normal)...", flush=True)
+        colors = evaluate_vertex_colors(
+            model, model_params, verts, vertex_normals(verts, faces), chunk=args.chunk
+        )
+    save_obj(args.out, verts, faces, colors=colors)
+    kind = "colored vertices" if colors is not None else "vertices"
+    print(f"wrote {args.out}: {len(verts)} {kind}, {len(faces)} quads")
 
 
 if __name__ == "__main__":

@@ -129,3 +129,72 @@ def test_save_obj_roundtrip(tmp_path):
     # 1-indexed faces within range
     idx = np.array([[int(t) for t in ln.split()[1:]] for ln in f_lines])
     assert idx.min() >= 1 and idx.max() <= len(verts)
+
+
+def test_vertex_normals_sphere_outward():
+    from yanerf_tpu.ops.mesh import vertex_normals
+
+    grid, origin, spacing = _sphere_grid(n=33, r=0.6)
+    verts, faces = surface_nets(grid, iso=0.0, origin=origin, spacing=spacing)
+    vn = vertex_normals(verts, faces)
+    np.testing.assert_allclose(np.linalg.norm(vn, axis=1), 1.0, atol=1e-5)
+    # outward for a solid sphere: normal aligns with the radial direction
+    radial = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    cos = (vn * radial).sum(1)
+    assert cos.min() > 0.9
+
+    # degenerate fallback
+    lonely = vertex_normals(np.zeros((2, 3), np.float32), np.zeros((0, 4), np.int32))
+    np.testing.assert_allclose(lonely, [[0, 0, 1], [0, 0, 1]])
+
+
+def test_evaluate_vertex_colors_matches_direct_apply(tmp_path):
+    import jax
+
+    from yanerf_tpu.models import MODELS
+    from yanerf_tpu.ops.mesh import evaluate_vertex_colors, vertex_normals
+
+    model = MODELS.build(
+        dict(
+            type="NeRFMLP",
+            n_layers=2,
+            input_skips=[1],
+            n_harmonic_functions_xyz=2,
+            n_harmonic_functions_dir=1,
+            n_hidden_neurons_xyz=16,
+            n_hidden_neurons_dir=8,
+            latent_dim=0,
+            color_dim=3,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    grid, origin, spacing = _sphere_grid(n=17, r=0.5)
+    verts, faces = surface_nets(grid, iso=0.0, origin=origin, spacing=spacing)
+    normals = vertex_normals(verts, faces)
+    colors = evaluate_vertex_colors(model, params, verts, normals, chunk=64)
+    assert colors.shape == (len(verts), 3)
+    assert (colors >= 0).all() and (colors <= 1).all()  # sigmoid head
+
+    # spot-check vertex 3 against a direct model call with view = -normal
+    out = model.apply(
+        params,
+        verts[3].reshape(1, 1, 3),
+        (-normals[3]).reshape(1, 1, 3),
+        np.zeros((1, 1, 1), np.float32),
+    )
+    want = np.asarray(out["rays_features"])[0, 0, 0, :3]
+    np.testing.assert_allclose(colors[3], want, rtol=1e-4, atol=1e-5)
+
+    # colored OBJ: 6-component v lines, clipped to [0, 1]
+    path = tmp_path / "colored.obj"
+    save_obj(str(path), verts, faces, colors=colors)
+    v_lines = [ln for ln in path.read_text().splitlines() if ln.startswith("v ")]
+    assert len(v_lines) == len(verts)
+    assert all(len(ln.split()) == 7 for ln in v_lines)
+    got = np.array([float(t) for t in v_lines[3].split()[1:]])
+    np.testing.assert_allclose(got[:3], verts[3], atol=1e-5)
+    np.testing.assert_allclose(got[3:], colors[3], atol=1e-3)
+
+    # length mismatch rejected
+    with pytest.raises(ValueError):
+        save_obj(str(path), verts, faces, colors=colors[:-1])

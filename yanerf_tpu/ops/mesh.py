@@ -217,12 +217,133 @@ def surface_nets(
     return verts, faces
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Write a (quad) mesh as Wavefront OBJ (1-indexed faces)."""
+def fit_scene_aabb(
+    grid: np.ndarray,
+    bounds: Tuple[float, float],
+    threshold: float,
+    margin: float = 0.05,
+) -> np.ndarray:
+    """Tight world-space AABB of the density field's occupied region.
+
+    Used to feed ``RaySampler.scene_aabb`` (per-ray depth tightening,
+    ops/rays.py::ray_aabb_bounds): lattice points whose activated density
+    exceeds ``threshold`` define the content; the box is their index-space
+    extent mapped to world coordinates, padded by ``margin`` of the extent
+    plus one lattice spacing (so interpolated density between lattice
+    points stays inside).
+
+    Args:
+        grid: ``(R, R, R)`` activated densities from
+            ``evaluate_density_grid`` (index order [ix, iy, iz], world
+            axis-aligned).
+        bounds: the ``(lo, hi)`` cube the grid was evaluated on.
+        threshold: occupancy density cutoff (sigma units). A sample at
+            density s contributes alpha 1-exp(-s*delta); with typical
+            deltas of ~1e-2 scene units, s below ~1 is visually empty.
+        margin: relative padding per axis.
+
+    Returns:
+        ``(2, 3) float32`` — ``[[x0, y0, z0], [x1, y1, z1]]``.
+    """
+    occupied = np.argwhere(grid > threshold)
+    if occupied.size == 0:
+        raise ValueError(f"no density above threshold {threshold} (grid max {grid.max():.3f})")
+    lo, hi = float(bounds[0]), float(bounds[1])
+    spacing = (hi - lo) / (np.asarray(grid.shape, np.float64) - 1)
+    mins = lo + occupied.min(0) * spacing
+    maxs = lo + occupied.max(0) * spacing
+    pad = margin * (maxs - mins) + spacing
+    return np.stack([mins - pad, maxs + pad]).astype(np.float32)
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals of a quad mesh.
+
+    Each quad contributes its (unnormalized, hence area-weighted) normal —
+    the cross-product sum of its two 0-2-diagonal triangles — to all four
+    corner vertices. ``surface_nets`` winds faces outward, so these normals
+    point out of the solid.
+
+    Returns:
+        ``(V, 3) float32`` unit normals; vertices with a degenerate normal
+        sum (cancelling adjacent faces) fall back to ``+z``.
+    """
+    vn = np.zeros((len(verts), 3), np.float64)
+    if faces.size:
+        a, b, c, d = (verts[faces[:, i]].astype(np.float64) for i in range(4))
+        n = np.cross(b - a, c - a) + np.cross(c - a, d - a)
+        for i in range(4):
+            np.add.at(vn, faces[:, i], n)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = np.where(norm > 1e-12, vn / np.maximum(norm, 1e-12), np.array([0.0, 0.0, 1.0]))
+    return vn.astype(np.float32)
+
+
+def evaluate_vertex_colors(
+    model: Any,
+    params: Dict[str, Any],
+    verts: np.ndarray,
+    normals: np.ndarray,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Query the model's color head at surface points.
+
+    Uses the same zero-length-ray trick as ``evaluate_density_grid``, with
+    the viewing direction set to ``-normal`` per vertex (a camera outside
+    the surface looking straight at the point — the ray-propagation
+    convention the color head was trained under). Chunked ``lax.map`` into
+    one fixed-shape XLA program.
+
+    Returns:
+        ``(V, 3) float32`` colors in [0, 1] (``rays_features`` is already
+        activation-mapped — models/nerf_mlp.py ``_get_colors`` sigmoid).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = len(verts)
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    chunk = int(min(chunk, n))
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    pts = np.asarray(verts, np.float32)
+    dirs = -np.asarray(normals, np.float32)
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)], axis=0)
+        dirs = np.concatenate([dirs, np.tile(np.array([[0, 0, 1]], np.float32), (pad, 1))], axis=0)
+    pts = pts.reshape(n_chunks, chunk, 3)
+    dirs = dirs.reshape(n_chunks, chunk, 3)
+
+    def color_chunk(inp):
+        points, directions = inp
+        lengths = jnp.zeros((1, points.shape[0], 1), points.dtype)
+        out = model.apply(params, points[None], directions[None], lengths)
+        return out["rays_features"][0, :, 0, :3].astype(jnp.float32)
+
+    colors = jax.jit(lambda p, d: jax.lax.map(color_chunk, (p, d)))(jnp.asarray(pts), jnp.asarray(dirs))
+    return np.asarray(colors).reshape(-1, 3)[:n]
+
+
+def save_obj(
+    path: str, verts: np.ndarray, faces: np.ndarray, colors: Optional[np.ndarray] = None
+) -> None:
+    """Write a (quad) mesh as Wavefront OBJ (1-indexed faces).
+
+    ``colors`` (V, 3) in [0, 1], if given, are written via the widely
+    supported vertex-color OBJ extension (``v x y z r g b`` — read by
+    MeshLab, Blender, trimesh, …).
+    """
+    if colors is not None and len(colors) != len(verts):
+        raise ValueError(f"{len(colors)} colors for {len(verts)} verts")
     with open(path, "w") as f:
         f.write(f"# yanerf_tpu surface-nets mesh: {len(verts)} verts, {len(faces)} quads\n")
-        for v in verts:
-            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if colors is None:
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        else:
+            for v, c in zip(verts, np.clip(colors, 0.0, 1.0)):
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
         for q in faces:
             f.write(f"f {q[0] + 1} {q[1] + 1} {q[2] + 1} {q[3] + 1}\n")
 
