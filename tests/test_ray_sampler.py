@@ -170,3 +170,114 @@ def test_use_ndc_forces_unit_depth_range_and_transforms_rays():
     # NDC origins sit on the z=-1 plane of the NDC cube (the near plane).
     assert np.allclose(np.asarray(bundle.origins)[..., 2], -1.0, atol=1e-5)
     assert np.isfinite(np.asarray(bundle.directions)).all()
+
+
+# ---- per-ray AABB depth tightening (ops/rays.py::ray_aabb_bounds) ----
+
+
+def test_ray_aabb_bounds_analytic():
+    from yanerf_tpu.ops.rays import ray_aabb_bounds
+
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    origins = jnp.asarray(
+        [
+            [0.0, 0.0, -4.0],   # hits the box straight on: t in [3, 5]
+            [3.0, 0.0, -4.0],   # misses (x offset outside)
+            [0.0, 0.0, 0.0],    # starts inside: clamps to min_depth
+            [0.0, 0.0, -4.0],   # parallel slabs (dx=dy=0), inside both
+        ]
+    )
+    directions = jnp.asarray(
+        [[0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]
+    )
+    t0, t1 = ray_aabb_bounds(origins, directions, aabb, 0.1, 10.0)
+    np.testing.assert_allclose(t0, [3.0, 10.0, 0.1, 3.0], atol=1e-5)
+    np.testing.assert_allclose(t1, [5.0, 10.0, 1.0, 5.0], atol=1e-5)
+
+    # unnormalized directions: doubling |d| halves the t interval (the
+    # lengths parameterization carries the direction norm)
+    t0s, t1s = ray_aabb_bounds(origins[:1], directions[:1] * 2.0, aabb, 0.1, 10.0)
+    np.testing.assert_allclose([t0s[0], t1s[0]], [1.5, 2.5], atol=1e-5)
+
+    # parallel slab with origin OUTSIDE the slab -> miss
+    t0m, t1m = ray_aabb_bounds(
+        jnp.asarray([[2.0, 0.0, -4.0]]), jnp.asarray([[0.0, 0.0, 1.0]]), aabb, 0.1, 10.0
+    )
+    assert float(t0m[0]) == 10.0 and float(t1m[0]) == 10.0
+
+
+def test_ray_aabb_bounds_matches_brute_force():
+    from yanerf_tpu.ops.rays import ray_aabb_bounds
+
+    rng = np.random.RandomState(0)
+    aabb = jnp.asarray([[-0.8, -0.5, -1.2], [0.7, 1.1, 0.4]])
+    origins = jnp.asarray(rng.uniform(-3, 3, (64, 3)).astype(np.float32))
+    directions = jnp.asarray(rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+    t0, t1 = ray_aabb_bounds(origins, directions, aabb, 0.05, 8.0)
+    # dense scan of the interval [min_depth, max_depth]
+    ts = np.linspace(0.05, 8.0, 4001, dtype=np.float32)
+    pts = np.asarray(origins)[:, None, :] + ts[None, :, None] * np.asarray(directions)[:, None, :]
+    inside = ((pts >= np.asarray(aabb[0])) & (pts <= np.asarray(aabb[1]))).all(-1)
+    for i in range(64):
+        if inside[i].any():
+            lo_ref, hi_ref = ts[inside[i]][0], ts[inside[i]][-1]
+            assert float(t0[i]) <= lo_ref + 1e-2
+            assert float(t1[i]) >= hi_ref - 1e-2
+            # and not wastefully loose
+            assert float(t0[i]) >= lo_ref - 1e-2
+            assert float(t1[i]) <= hi_ref + 1e-2
+        else:
+            # brute force found nothing; op must report miss or a sliver
+            # shorter than the scan resolution
+            assert float(t1[i]) - float(t0[i]) <= 2e-3
+
+
+def test_sampler_scene_aabb_tightens_lengths():
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    cfg.ray_sampler.scene_aabb = [-0.5, -0.5, 2.0, 0.5, 0.5, 3.0]
+    cfg.ray_sampler.n_pts_per_ray_evaluation = 16
+    sampler = RAY_SAMPLERS.build(cfg.ray_sampler)
+    poses, focals = _cams()
+    bundle = sampler(None, poses, focals, EvaluationMode.EVALUATION, min_depth=0.1, max_depth=10.0)
+    lengths = np.asarray(bundle.lengths)
+    origins = np.asarray(bundle.origins)
+    dirs = np.asarray(bundle.directions)
+    pts = origins[..., None, :] + lengths[..., :, None] * dirs[..., None, :]
+    aabb_lo, aabb_hi = np.array([-0.5, -0.5, 2.0]), np.array([0.5, 0.5, 3.0])
+    hit = ((pts >= aabb_lo - 1e-4) & (pts <= aabb_hi + 1e-4)).all(-1).all(-1)
+    missed = ~hit
+    # identity poses look down +z from the origin: the center pixels hit
+    assert hit.any()
+    # every sample on a hitting ray is inside the box; missing rays
+    # collapse to the far plane
+    assert np.allclose(lengths[missed], 10.0)
+    # untightened lengths span [0.1, 10]; tightened hitting rays span ~[2, 3]
+    assert lengths[hit].min() >= 2.0 - 1e-4 and lengths[hit].max() <= 3.0 + 1e-4
+
+
+def test_sampler_scene_aabb_validation():
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    cfg.ray_sampler.scene_aabb = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+    cfg.ray_sampler.use_ndc = True
+    with pytest.raises(ValueError, match="NDC"):
+        RAY_SAMPLERS.build(cfg.ray_sampler)
+    cfg.ray_sampler.use_ndc = False
+    cfg.ray_sampler.scene_aabb = [1.0, -1.0, -1.0, -1.0, 1.0, 1.0]
+    with pytest.raises(ValueError, match="min < max"):
+        RAY_SAMPLERS.build(cfg.ray_sampler)
+
+
+def test_fit_scene_aabb_sphere():
+    from yanerf_tpu.ops.mesh import fit_scene_aabb
+
+    n, r, lo, hi = 65, 0.6, -1.5, 1.5
+    axis = np.linspace(lo, hi, n)
+    x, y, z = np.meshgrid(axis, axis, axis, indexing="ij")
+    grid = np.where(np.sqrt(x * x + y * y + z * z) < r, 30.0, 0.0)
+    aabb = fit_scene_aabb(grid, (lo, hi), threshold=5.0, margin=0.0)
+    spacing = (hi - lo) / (n - 1)
+    # the fitted box brackets the sphere within one lattice spacing + pad
+    np.testing.assert_allclose(aabb[0], [-r - spacing] * 3, atol=spacing)
+    np.testing.assert_allclose(aabb[1], [r + spacing] * 3, atol=spacing)
+    with pytest.raises(ValueError, match="no density"):
+        fit_scene_aabb(grid, (lo, hi), threshold=100.0)

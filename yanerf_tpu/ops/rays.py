@@ -52,6 +52,61 @@ def jiggle_within_stratas(rng: jax.Array, bin_centers: jax.Array) -> jax.Array:
     return lower + (upper - lower) * u
 
 
+def ray_aabb_bounds(
+    origins: jax.Array,
+    directions: jax.Array,
+    aabb: jax.Array,
+    min_depth: jax.Array,
+    max_depth: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-ray depth bounds tightened to an axis-aligned box (slab test).
+
+    Intersects ``origin + t * direction`` with ``aabb`` in the SAME ``t``
+    parameterization the ray bundle's ``lengths`` use (directions stay
+    unnormalized — their norm carries the depth->distance scale, see
+    ``xy_to_ray_bundle``). Branch-free and fully vectorized: fuses into
+    ray generation under jit with no gathers, so tightening is ~free.
+
+    Rays that miss the box get the empty interval ``[max_depth, max_depth]``
+    — every sample lands at the far plane, outside the (density-containing)
+    box, so the raymarcher composites pure background there.
+
+    Args:
+        origins/directions: ``(..., 3)``.
+        aabb: ``(2, 3)`` — ``[[x0, y0, z0], [x1, y1, z1]]`` in world space.
+        min_depth/max_depth: scalar (possibly traced) outer depth bounds;
+            the returned interval is clamped inside them.
+
+    Returns:
+        ``(t_near, t_far)`` each shaped ``(...,)`` with
+        ``min_depth <= t_near <= t_far <= max_depth``.
+    """
+    dtype = origins.dtype
+    aabb = jnp.asarray(aabb, dtype).reshape(2, 3)
+    d = directions
+    # safe divisor: where d == 0 the slab test degenerates to an
+    # inside-the-slab check; the quotient computed with the dummy divisor
+    # is discarded by the `where` below (no NaN/inf reaches the output)
+    parallel = d == 0
+    safe_d = jnp.where(parallel, jnp.ones_like(d), d)
+    t_a = (aabb[0] - origins) / safe_d
+    t_b = (aabb[1] - origins) / safe_d
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    inside_slab = (origins >= aabb[0]) & (origins <= aabb[1])
+    enter_ax = jnp.where(parallel, jnp.where(inside_slab, -big, big), jnp.minimum(t_a, t_b))
+    exit_ax = jnp.where(parallel, jnp.where(inside_slab, big, -big), jnp.maximum(t_a, t_b))
+    t_near = jnp.max(enter_ax, axis=-1)
+    t_far = jnp.min(exit_ax, axis=-1)
+    min_d = jnp.asarray(min_depth, dtype)
+    max_d = jnp.asarray(max_depth, dtype)
+    t_near = jnp.clip(t_near, min_d, max_d)
+    t_far = jnp.clip(t_far, min_d, max_d)
+    miss = t_far <= t_near
+    t_near = jnp.where(miss, max_d, t_near)
+    t_far = jnp.where(miss, max_d, t_far)
+    return t_near, t_far
+
+
 def xy_to_ray_bundle(
     poses: jax.Array,
     image_width: int,
@@ -64,6 +119,7 @@ def xy_to_ray_bundle(
     stratified_sampling: bool = False,
     rng: Optional[jax.Array] = None,
     sample_in_disparity: bool = False,
+    scene_aabb: Optional[jax.Array] = None,
 ) -> RayBundle:
     """Unproject pixel coordinates into world-space rays with depth samples.
 
@@ -84,6 +140,12 @@ def xy_to_ray_bundle(
             (mip-NeRF 360's choice; pairs with ``contract_points``). The
             stratified jiggle still operates on the resulting non-uniform
             bins (``jiggle_within_stratas`` uses neighbour mid-points).
+        scene_aabb: optional ``(2, 3)`` world-space box bounding the scene
+            content. When given, each ray's depth range is tightened to its
+            slab intersection with the box (``ray_aabb_bounds``) — the same
+            fixed sample budget concentrates where the scene actually is,
+            and rays that miss the box collapse to the far plane
+            (= background). Static shapes throughout.
 
     Returns:
         A :class:`RayBundle` with origins/directions ``(B, *spatial, 3)``,
@@ -94,27 +156,6 @@ def xy_to_ray_bundle(
     batch_size = xy_grid.shape[0]
     spatial_size = xy_grid.shape[1:-1]
     dtype = xy_grid.dtype
-
-    if n_pts_per_ray > 0:
-        min_d = jnp.mean(jnp.asarray(min_depth, dtype=dtype))
-        max_d = jnp.mean(jnp.asarray(max_depth, dtype=dtype))
-        t = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype)
-        if sample_in_disparity:
-            # disparity spacing divides by the bounds; a non-positive near
-            # plane (the pointwise default in some blender configs) would
-            # silently yield inf/NaN depths — clamp to a tiny positive value
-            min_d = jnp.maximum(min_d, 1e-6)
-            max_d = jnp.maximum(max_d, min_d * (1.0 + 1e-6))
-            depths = 1.0 / (t * (1.0 / max_d - 1.0 / min_d) + 1.0 / min_d)
-        else:
-            depths = t * (max_d - min_d) + min_d
-        rays_zs = jnp.broadcast_to(depths, (batch_size, *spatial_size, n_pts_per_ray))
-        if stratified_sampling:
-            if rng is None:
-                raise ValueError("stratified_sampling requires an rng key")
-            rays_zs = jiggle_within_stratas(rng, rays_zs)
-    else:
-        rays_zs = jnp.zeros((batch_size, *spatial_size, 0), dtype=dtype)
 
     poses = poses[:, :3, :4]
     expand = (batch_size,) + (1,) * len(spatial_size)
@@ -131,6 +172,32 @@ def xy_to_ray_bundle(
     )
     rot = poses[:, :3, :3].reshape(*expand, 3, 3)
     directions = jnp.sum(rot * dirs_cam[..., None, :], axis=-1)
+
+    if n_pts_per_ray > 0:
+        min_d = jnp.mean(jnp.asarray(min_depth, dtype=dtype))
+        max_d = jnp.mean(jnp.asarray(max_depth, dtype=dtype))
+        if scene_aabb is not None:
+            # per-ray bounds: (B, *spatial) each; scalars otherwise
+            lo, hi = ray_aabb_bounds(origins, directions, scene_aabb, min_d, max_d)
+        else:
+            lo, hi = min_d, max_d
+        t = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype)
+        if sample_in_disparity:
+            # disparity spacing divides by the bounds; a non-positive near
+            # plane (the pointwise default in some blender configs) would
+            # silently yield inf/NaN depths — clamp to a tiny positive value
+            lo = jnp.maximum(jnp.asarray(lo, dtype), 1e-6)
+            hi = jnp.maximum(jnp.asarray(hi, dtype), lo * (1.0 + 1e-6))
+            depths = 1.0 / (t * (1.0 / hi - 1.0 / lo)[..., None] + (1.0 / lo)[..., None])
+        else:
+            depths = t * jnp.asarray(hi - lo, dtype)[..., None] + jnp.asarray(lo, dtype)[..., None]
+        rays_zs = jnp.broadcast_to(depths, (batch_size, *spatial_size, n_pts_per_ray))
+        if stratified_sampling:
+            if rng is None:
+                raise ValueError("stratified_sampling requires an rng key")
+            rays_zs = jiggle_within_stratas(rng, rays_zs)
+    else:
+        rays_zs = jnp.zeros((batch_size, *spatial_size, 0), dtype=dtype)
 
     return RayBundle(origins=origins, directions=directions, lengths=rays_zs, xys=xy_grid)
 

@@ -23,6 +23,7 @@ from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yanerf_tpu.ops.rays import get_min_max_depth_bounds, get_xy_grid, ndc_ray_bundle, xy_to_ray_bundle
 from yanerf_tpu.ops.sampling import (
@@ -51,6 +52,7 @@ class _RaySampler:
         approx_top_k: bool = False,
         pixel_replacement: bool = False,
         sample_in_disparity: bool = False,
+        scene_aabb=None,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -62,6 +64,7 @@ class _RaySampler:
         self.approx_top_k = approx_top_k
         self.pixel_replacement = pixel_replacement
         self.sample_in_disparity = sample_in_disparity
+        self.scene_aabb = scene_aabb
 
     def __call__(
         self,
@@ -173,6 +176,7 @@ class _RaySampler:
             stratified,
             rng=rng,
             sample_in_disparity=self.sample_in_disparity,
+            scene_aabb=self.scene_aabb,
         )
 
 
@@ -198,6 +202,7 @@ class RaySampler:
         use_ndc: bool = False,
         ndc_near: float = 1.0,
         sample_in_disparity: bool = False,
+        scene_aabb: Optional[List[float]] = None,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -208,6 +213,17 @@ class RaySampler:
         # NDC ray parameter) and per-image metric bounds are ignored.
         self.use_ndc = use_ndc
         self.ndc_near = ndc_near
+        # Optional content box [x0, y0, z0, x1, y1, z1]: per-ray depth
+        # tightening via slab intersection (ops/rays.py::ray_aabb_bounds).
+        # Fit from a trained model with scripts/fit_aabb.py. Meaningless
+        # under the NDC reparameterization (depth is the NDC parameter).
+        if scene_aabb is not None:
+            if use_ndc:
+                raise ValueError("scene_aabb cannot be combined with use_ndc (NDC depth is not metric)")
+            scene_aabb = np.asarray(scene_aabb, np.float32).reshape(2, 3)
+            if not (scene_aabb[0] < scene_aabb[1]).all():
+                raise ValueError(f"scene_aabb must satisfy min < max per axis, got {scene_aabb.tolist()}")
+        self.scene_aabb = scene_aabb
         self._sampling_mode = {
             EvaluationMode.TRAINING: RenderSamplingMode(sampling_mode_training),
             EvaluationMode.EVALUATION: RenderSamplingMode(sampling_mode_evaluation),
@@ -230,6 +246,7 @@ class RaySampler:
                 # uniform-in-disparity depth spacing for unbounded scenes
                 # (pairs with the models' contract_coords)
                 sample_in_disparity=sample_in_disparity,
+                scene_aabb=self.scene_aabb,
             )
             for mode, n_pts, stratified in (
                 (EvaluationMode.TRAINING, n_pts_per_ray_training, stratified_point_sampling_training),
