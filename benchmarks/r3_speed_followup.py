@@ -2,8 +2,10 @@
 
 From benchmarks/r3_proposal_profile.py traces: Adam's ~30 per-leaf fusions
 cost ~1.4 ms/step and the (approx) top-k ray sampler ~1.2 ms/step of the
-13.9 ms one-level proposal step. Fixes: optax.flatten (now the default in
-create_optimizer) and ray_sampler.pixel_replacement (cumsum+searchsorted).
+13.9 ms one-level proposal step. Fixes measured here: optax.flatten
+(shipped as the OPT-IN runner.flatten_optimizer — the measurement below
+came out a wash, so the default stays off) and ray_sampler.
+pixel_replacement (cumsum+searchsorted).
 This worker measures both, plus the classic config with flatten, and
 re-measures the full-budget eval fps (the bench saw an anomalous 0.355
 vs the sweep's 1.35-1.46).

@@ -73,8 +73,10 @@ def weighted_sample_with_replacement(
     cdf = jnp.cumsum(weights, axis=-1)
     total = cdf[..., -1:]
     u = jax.random.uniform(rng, (*weights.shape[:-1], num_samples), dtype=weights.dtype)
-    # searchsorted per row: first index with cdf >= u * total
-    idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q))(cdf, u * total)
+    # searchsorted per row: first index with cdf > u * total. side='right'
+    # is the exact inverse CDF — with side='left' a draw of exactly 0.0
+    # would select index 0 even when weights[0] == 0 (a masked-out pixel)
+    idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u * total)
     return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)
 
 

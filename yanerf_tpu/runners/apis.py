@@ -274,9 +274,20 @@ def _train_one_epoch_fused(
     # XLA trace capture (cfg: profile_dir / profile_start_iter /
     # profile_num_iters), same contract as the per-step loop
     profile_dir = config.get("profile_dir") if epoch == 0 else None
-    profile_start = int(config.get("profile_start_iter", 5) or 5)
-    profile_len = int(config.get("profile_num_iters", 5) or 5)
+    _ps = config.get("profile_start_iter")
+    profile_start = 5 if _ps is None else int(_ps)
+    _pl = config.get("profile_num_iters")
+    profile_len = 5 if _pl is None else int(_pl)
     profiling = False
+    profiled_steps = 0
+
+    def sync_losses():
+        # device sync before stop_trace/timing: a VALUE FETCH, because
+        # block_until_ready does not synchronize through the axon device
+        # tunnel (CLAUDE.md) and would truncate traces / corrupt timings
+        obj = last_losses.get("objective")
+        if obj is not None:
+            np.asarray(obj)
 
     timer = Timer()
     last_losses: Dict[str, Any] = {}
@@ -304,6 +315,12 @@ def _train_one_epoch_fused(
         else:
             j = i + 1
             while j < n and j - i < steps_per_call and not is_vis_iter(passed_iter + j):
+                if profile_dir and not profiling and j == profile_start:
+                    # split the group so the next dispatch begins exactly at
+                    # profile_start — otherwise a group spanning it would
+                    # defer (or, when steps_per_call >= epoch length,
+                    # silently skip) the trace capture
+                    break
                 j += 1
             if j - i not in seen_group_sizes:
                 seen_group_sizes.add(j - i)
@@ -316,16 +333,20 @@ def _train_one_epoch_fused(
             state, hist = train_step_fused(state, arrays, idx, rng)
             last_losses = {k: v[-1] for k, v in hist.items()}
 
-        if profiling and i + steps_per_call >= profile_start + profile_len:
-            jax.block_until_ready(last_losses.get("objective"))
-            jax.profiler.stop_trace()
-            profiling = False
-            profile_dir = None
-            logger.info(f"Wrote profiler trace to {config.get('profile_dir')}")
+        if profiling:
+            # count steps actually executed (vis iters run 1, truncated
+            # groups run j - i < steps_per_call), not dispatch calls
+            profiled_steps += j - i
+            if profiled_steps >= profile_len:
+                sync_losses()
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
+                logger.info(f"Wrote profiler trace to {config.get('profile_dir')}")
 
         crossed_print = any((passed_iter + t) % print_per_iter == 0 for t in range(i, j))
         if crossed_print:
-            jax.block_until_ready(last_losses.get("objective"))
+            sync_losses()
             span_s = timer.since_last_check()
             if lr_schedule is not None:
                 logger.info(f"{header}\tlr: {float(lr_schedule(passed_iter + j - 1)):.3e}.")
@@ -339,7 +360,7 @@ def _train_one_epoch_fused(
         i = j
 
     if profiling:
-        jax.block_until_ready(last_losses.get("objective"))
+        sync_losses()
         jax.profiler.stop_trace()
         logger.info(f"Wrote profiler trace to {config.get('profile_dir')}")
 
@@ -516,6 +537,9 @@ def eval_one_epoch(
                 end_idx,
                 "" if run_type == RunType.TEST else f"{epoch:05d}/",
             )
+        # discard the host-consumption span (metric fetches, logging, vis
+        # submit) so the NEXT frame's "data" field times only loading/prep
+        timer.since_last_check()
         return preds
 
     # One frame stays in flight: frame i+1 is dispatched BEFORE frame i's
