@@ -1,0 +1,109 @@
+"""MipNeRFMLP: scale-aware (anti-aliased) NeRF via integrated positional
+encoding (mip-NeRF, Barron et al. 2021).
+
+Same trunk, heads and param pytree as :class:`NeRFMLP` (checkpoints are
+interchangeable); the only change is WHAT gets positionally encoded: instead
+of the point ``o + t d`` it encodes the Gaussian moment-match of the conical
+frustum the pixel's cone sweeps over the sample's depth interval
+(``ops/mip.py``). High frequencies attenuate once their period drops below
+the footprint, so the model cannot overfit sub-pixel detail — the published
+fix for the aliasing/blur point-sampled NeRF shows when rendering away from
+the training scale.
+
+Drop-in everywhere the contract ``apply(params, origins, directions,
+lengths) -> dict`` is consumed: both renderer families (multipass and
+proposal-estimator), the fused trainer, GSPMD sharding — all elementwise
+math over the existing shapes. No reference analog (the reference is
+point-sampled only; its model contract is nerf_mlp.py:117-177).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from yanerf_tpu.ops.harmonics import harmonic_embedding
+from yanerf_tpu.ops.mip import (
+    conical_frustum_to_gaussian,
+    integrated_harmonic_embedding,
+    intervals_from_midpoints,
+)
+
+from .builder import MODELS
+from .layers import linear
+from .nerf_mlp import NeRFMLP
+
+
+@MODELS.register_module()
+class MipNeRFMLP(NeRFMLP):
+    """:class:`NeRFMLP` with integrated positional encoding over cone segments.
+
+    Args (beyond NeRFMLP's):
+        base_radius: pixel-cone radius per unit depth, ``(2 / sqrt(12)) /
+            focal_px`` for a pinhole camera (e.g. lego 800px, focal 1111.1:
+            ``5.2e-4``). mip-NeRF derives the identical value from adjacent
+            unnormalized pixel directions. Must be positive — with the
+            radial term zeroed the model degenerates to (slightly blurred)
+            point NeRF and loses the anti-aliasing it exists for.
+    """
+
+    def __init__(self, base_radius: float, **kwargs) -> None:
+        if base_radius <= 0.0:
+            raise ValueError(f"base_radius must be > 0, got {base_radius}")
+        if kwargs.get("contract_coords"):
+            raise ValueError(
+                "MipNeRFMLP does not support contract_coords: the contraction "
+                "would have to be linearized onto the Gaussian (mip-NeRF 360 "
+                "eq. 8); use NeRFMLP with contract_coords for unbounded scenes"
+            )
+        if kwargs.get("use_pallas") or kwargs.get("use_pallas_train"):
+            raise ValueError("MipNeRFMLP has no fused Pallas kernel; leave use_pallas off")
+        if not kwargs.get("input_xyz", True):
+            raise ValueError("MipNeRFMLP requires input_xyz=True (IPE is the whole point)")
+        super().__init__(**kwargs)
+        self.base_radius = float(base_radius)
+
+    def apply(
+        self,
+        params: Dict[str, Any],
+        origins,
+        directions,
+        lengths,
+        global_codes: Optional[Any] = None,
+        use_pallas: Optional[bool] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        if lengths.shape[-1] < 2:
+            raise ValueError("MipNeRFMLP needs >= 2 samples per ray to form intervals")
+        t0, t1 = intervals_from_midpoints(lengths)
+        mean, var = conical_frustum_to_gaussian(origins, directions, t0, t1, self.base_radius)
+        embeds = integrated_harmonic_embedding(
+            mean,
+            var,
+            self.n_harmonic_functions_xyz,
+            append_input=self.harmonic_functions_xyz_append_intput,
+        )
+
+        if global_codes is not None:
+            global_codes = global_codes.reshape(global_codes.shape[0], -1)
+            if global_codes.shape[-1] != self.latent_dim:
+                raise ValueError(
+                    f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {self.latent_dim}"
+                )
+            bs = embeds.shape[0]
+            broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (self.latent_dim,)
+            codes = jnp.broadcast_to(
+                global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], self.latent_dim)
+            )
+            embeds = jnp.concatenate([embeds, codes], axis=-1)
+        elif self.latent_dim != 0:
+            raise ValueError("latent_dim > 0 requires global_codes")
+
+        features = self._encode_xyz(params, embeds)
+        raw_densities = linear(params["density_layer"], features, self.compute_dtype).astype(jnp.float32)
+        rays_colors = self._get_colors(params, features, directions)
+        return dict(rays_densities=raw_densities, rays_features=rays_colors, aux={})
+
+
+__all__ = ["MipNeRFMLP", "harmonic_embedding"]
