@@ -25,6 +25,8 @@ COMPARISONS = [
     ("two_level", "two_level_final32", "48 final training pts (shipped) vs 32"),
     ("two_level", "two_level_repl", "top-k sampler (default) vs replacement sampling"),
     ("distortion_w001", "distortion_w0", "distortion 0.01 vs 0 on sparse-view floater regime"),
+    ("two_level_40k", "classic_exact", "proposal 40k (matched ~wall) vs classic 64+192 20k"),
+    ("mip_classic", "classic_exact", "mip-NeRF IPE vs point PE on the classic schedule"),
 ]
 
 
