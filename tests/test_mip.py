@@ -166,3 +166,58 @@ def test_mip_nerf_in_pipeline():
             image_rgb=image, evaluation_mode=mode,
         )
         assert np.all(np.isfinite(np.asarray(preds["objective"])))
+
+
+def test_mip_nerf_under_proposal_renderer():
+    """MipNeRFMLP as the final model of the proposal-estimator family (the
+    flagship renderer): the interval machinery must compose with the
+    importance-sampled, per-pass-varying point counts."""
+    from yanerf_tpu.ops.structures import EvaluationMode
+    from yanerf_tpu.pipelines import PIPELINES
+
+    cfg = dict(
+        type="NeRFPipeline",
+        chunk_size_grid=64,
+        num_passes=2,
+        output_rasterized_mc=False,
+        loss_weights={"loss_rgb_mse": 1.0, "loss_proposal": 1.0},
+        model=[
+            dict(type="ProposalMLP", n_layers=2, hidden_dim=16, n_harmonic_functions_xyz=2),
+            dict(
+                type="MipNeRFMLP", base_radius=6e-4, n_layers=2, input_skips=[1],
+                n_harmonic_functions_xyz=3, n_harmonic_functions_dir=2,
+                n_hidden_neurons_xyz=16, n_hidden_neurons_dir=8, latent_dim=0, color_dim=3,
+            ),
+        ],
+        ray_sampler=dict(
+            type="RaySampler", image_height=4, image_width=4, min_depth=1.0, max_depth=3.0,
+            n_pts_per_ray_training=8, n_pts_per_ray_evaluation=8,
+            n_rays_per_image_sampled_from_mask=16,
+        ),
+        renderer=dict(
+            type="ProposalEmissionAbsorpsionRenderer",
+            n_pts_per_ray_final_training=4, n_pts_per_ray_final_evaluation=4,
+            n_pts_per_ray_intermediate_training=[], n_pts_per_ray_intermediate_evaluation=[],
+            bg_color=[0.0, 0.0, 0.0], density_noise_std_train=0.0,
+            background_density_bias=1.0e-6,
+        ),
+        feature_extractor=[],
+    )
+    pipeline = PIPELINES.build(cfg)
+    params = pipeline.init(jax.random.PRNGKey(0))
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    focals = jnp.asarray([[4.0]])
+    image = jnp.zeros((1, 4, 4, 3))
+
+    def loss(p):
+        preds = pipeline.forward(
+            p, jax.random.PRNGKey(1), poses=poses, focal_lengths=focals,
+            image_rgb=image, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        return jnp.mean(preds["objective"])
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
