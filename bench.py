@@ -80,7 +80,10 @@ def _proposal_pipeline(
             n_pts_per_ray_evaluation=eval_sampler_pts,
             n_rays_per_image_sampled_from_mask=n_rays,
             stratified_point_sampling_training=True,
-            approx_top_k=True,  # the throughput config's sampler
+            # the shipped flagship sampler: replacement sampling (uniform
+            # case = bare randint) — quality-neutral at 3 seeds
+            # (results/ab_r3.json two_level_repl), removes the top-k sort
+            pixel_replacement=True,
         ),
         renderer=dict(
             type="ProposalEmissionAbsorpsionRenderer",
