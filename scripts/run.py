@@ -216,8 +216,15 @@ def main(args, config):
     if config.runner.get("cache_dataset_on_device", False):
         from yanerf_tpu.datasets import DeviceCachedLoader
 
-        logger.info("Caching datasets on device (zero per-step host transfers).")
-        dataloaders = [DeviceCachedLoader(loader) for loader in dataloaders]
+        quantize = bool(config.runner.get("cache_quantize_images", False))
+        logger.info(
+            "Caching datasets on device (zero per-step host transfers"
+            + (", lossless uint8 images" if quantize else "")
+            + ")."
+        )
+        dataloaders = [
+            DeviceCachedLoader(loader, quantize_images=quantize) for loader in dataloaders
+        ]
 
     for i, loader in enumerate(dataloaders):
         logger.info(f"Data: dataset No.{i}: {len(loader.dataset)} items, {len(loader)} batches")

@@ -211,3 +211,34 @@ def test_device_cached_loader_size_fallback(blender_root):
     batches = list(cached)
     assert len(batches) == 2
     assert isinstance(batches[0][0], np.ndarray)  # host path yields numpy
+
+
+def test_device_cache_uint8_quantization_lossless(blender_root):
+    """quantize_images stores 8-bit-sourced images as uint8 and decodes them
+    BIT-exactly (correctly-rounded f32 division by 255), while refusing to
+    quantize anything not provably lossless."""
+    import numpy as np
+
+    from yanerf_tpu.datasets import DeviceCachedLoader, decode_cached_field
+
+    ds = BlenderDataset(str(blender_root), "train")
+    host = create_loader(ds, create_sampler(ds, shuffle=True, seed=3), batch_size=2, num_workers=0, is_train=True)
+    cached = DeviceCachedLoader(
+        create_loader(ds, create_sampler(ds, shuffle=True, seed=3), batch_size=2, num_workers=0, is_train=True),
+        quantize_images=True,
+    )
+    host_batches = list(host)
+    cached_batches = list(cached)
+    # the image field was actually stored quantized...
+    img_field = len(host_batches[0]) - 1
+    assert cached._arrays[img_field].dtype == np.uint8
+    # ...and decodes bit-for-bit against the host loader
+    for hb, cb in zip(host_batches, cached_batches):
+        for hf, cf in zip(hb, cb):
+            np.testing.assert_array_equal(np.asarray(cf), np.asarray(hf))
+
+    # non-8-bit-sourced floats are refused (lossless gate)
+    arbitrary = np.asarray([[0.1234567, 0.7654321]], dtype=np.float32)[None]
+    assert cached._maybe_quantize(arbitrary).dtype == np.float32
+    # decode passes non-uint8 fields through untouched
+    assert decode_cached_field(arbitrary) is arbitrary

@@ -196,3 +196,49 @@ def test_fused_epoch_runs_vis_steps_at_val_boundaries(tmp_path):
     vis_root = tmp_path / "visualization" / "train"
     pngs = list(vis_root.rglob("*.png"))
     assert pngs, "expected training vis dumps at val_per_iter boundaries"
+
+
+class EightBitDataset(TinyDataset):
+    """TinyDataset but with 8-bit-sourced images (k/255 values), matching
+    what the PNG loaders produce — eligible for lossless uint8 caching."""
+
+    def __init__(self, n=8, hw=4):
+        super().__init__(n=n, hw=hw)
+        rng = np.random.RandomState(1)
+        self.images = [
+            (rng.randint(0, 256, size=(hw, hw, 3)).astype(np.float32) / 255.0) for _ in range(n)
+        ]
+
+
+def test_fused_epoch_with_quantized_cache_is_bit_transparent(tmp_path):
+    """The uint8-quantized device cache must be invisible to training: the
+    SAME fused program over the quantized cache produces a bit-identical
+    TrainState to the float32 cache (the decode is the correctly-rounded
+    f32 division the host loaders use). Fused-vs-per-step equivalence is
+    covered separately by test_fused_epoch_loop_matches_per_step_loop."""
+    pipeline = PIPELINES.build(_tiny_pipeline_cfg())
+    dataset = EightBitDataset()
+    optimizer = create_optimizer(_runner_cfg(tmp_path))
+    rng = jax.random.PRNGKey(7)
+
+    def run(quantize):
+        loader = DataLoader(
+            dataset, create_sampler(dataset, shuffle=True), batch_size=2, is_train=True, num_workers=0
+        )
+        loader = DeviceCachedLoader(loader, quantize_images=quantize)
+        state = create_train_state(pipeline.init(jax.random.PRNGKey(0)), optimizer)
+        step = make_train_step(pipeline, optimizer, donate=False)
+        fused_step = make_train_step_fused(pipeline, optimizer, W, donate=False)
+        cfg = _runner_cfg(tmp_path, steps_per_call=3)
+        for epoch in range(2):
+            state, stats = train_one_epoch(
+                RunType.TRAIN, cfg, epoch, state, loader, step, rng, train_step_fused=fused_step
+            )
+        return state, loader
+
+    state_f32, loader_f32 = run(quantize=False)
+    state_u8, loader_u8 = run(quantize=True)
+    assert loader_u8._arrays[2].dtype == np.uint8  # image field actually quantized
+    assert loader_f32._arrays[2].dtype == np.float32
+    assert int(state_f32.step) == int(state_u8.step) == 8
+    assert _max_param_diff(state_f32, state_u8) == 0.0  # bit-identical

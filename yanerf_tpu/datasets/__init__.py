@@ -8,6 +8,7 @@ from .loader import (
     Subset,
     create_loader,
     create_sampler,
+    decode_cached_field,
     stack_batch,
 )
 from .utils import load_image

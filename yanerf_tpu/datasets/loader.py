@@ -225,6 +225,29 @@ class Subset:
         return len(self.indices)
 
 
+_U8_DECODE_TABLE = np.arange(256, dtype=np.float32) / 255.0  # exact k/255 values
+
+
+def decode_cached_field(a):
+    """Decode one device-cache field: ``uint8`` means a lossless-quantized
+    unit-interval image (see ``DeviceCachedLoader``); everything else passes
+    through. Decodes through a 256-entry table of host-computed k/255
+    values, which reproduces the loaders' ``astype(float32) / 255.0``
+    BIT-for-bit even under jit — an in-program ``x / 255.0`` would not:
+    XLA's algebraic simplifier rewrites divide-by-constant into a
+    reciprocal multiply, off by 1 ulp for some bytes. The table is a 1 KB
+    constant; the gather is negligible next to the MLP work it feeds.
+    Works on numpy and jax arrays, inside or outside jit.
+    """
+    if hasattr(a, "dtype") and a.dtype == np.uint8:
+        if isinstance(a, np.ndarray):
+            return _U8_DECODE_TABLE[a]
+        import jax.numpy as jnp
+
+        return jnp.asarray(_U8_DECODE_TABLE)[a.astype(jnp.int32)]
+    return a
+
+
 class DeviceCachedLoader:
     """Device-resident dataset cache: batches become on-device gathers.
 
@@ -235,19 +258,39 @@ class DeviceCachedLoader:
     yields per-batch views via device-side indexing (a cheap gather), so the
     steady-state loop does zero host transfers.
 
+    ``quantize_images=True`` additionally stores float32 image fields as
+    ``uint8`` when that is PROVABLY lossless (every value an exact multiple
+    of 1/255 — true for anything the 8-bit PNG loaders produced), quartering
+    both HBM footprint and the one-time upload through the host link; the
+    gather sites decode via :func:`decode_cached_field`, which is bit-exact.
+
     Falls back transparently (acts like the wrapped loader) when the
     estimated cache size exceeds ``max_bytes``.
     """
 
-    def __init__(self, loader: DataLoader, max_bytes: int = 4 << 30):
+    def __init__(self, loader: DataLoader, max_bytes: int = 4 << 30, quantize_images: bool = False):
         self.inner = loader
         self.dataset = loader.dataset
         self.sampler = loader.sampler
         self.batch_size = loader.batch_size
         self.drop_last = loader.drop_last
         self.max_bytes = max_bytes
+        self.quantize_images = quantize_images
         self._arrays = None
         self._fits = None
+
+    def _maybe_quantize(self, f):
+        """f32 -> u8 only when exactly invertible (values are k/255)."""
+        if (
+            self.quantize_images
+            and isinstance(f, np.ndarray)
+            and f.dtype == np.float32
+            and f.ndim >= 3  # image-shaped; poses/focals stay f32
+        ):
+            u8 = np.round(f * 255.0).astype(np.uint8)
+            if np.array_equal(u8.astype(np.float32) / 255.0, f):
+                return u8
+        return f
 
     @property
     def data_wrapper(self):
@@ -260,14 +303,22 @@ class DeviceCachedLoader:
         if self._fits is not None:
             return self._fits
         probe = self.dataset[0]
-        item_bytes = sum(np.asarray(f).nbytes for f in probe if isinstance(f, np.ndarray))
+        item_bytes = 0
+        for f in probe:
+            if not isinstance(f, np.ndarray):
+                continue
+            # image-shaped f32 fields shrink 4x under lossless quantization
+            if self.quantize_images and f.dtype == np.float32 and f.ndim >= 3:
+                item_bytes += f.nbytes // 4
+            else:
+                item_bytes += f.nbytes
         if item_bytes * len(self.dataset) > self.max_bytes:
             self._fits = False
             return False
         import jax
 
         items = [self.dataset[i] for i in range(len(self.dataset))]
-        stacked = stack_batch(items)
+        stacked = tuple(self._maybe_quantize(f) for f in stack_batch(items))
         self._arrays = tuple(
             jax.device_put(f) if isinstance(f, np.ndarray) else f for f in stacked
         )
@@ -290,5 +341,6 @@ class DeviceCachedLoader:
                 continue
             idx = jnp.asarray(chunk)
             yield tuple(
-                f[idx] if hasattr(f, "shape") else f for f in self._arrays
+                decode_cached_field(f[idx]) if hasattr(f, "shape") else f
+                for f in self._arrays
             )

@@ -117,14 +117,16 @@ int png_decode(const char* path, float* out, int out_h, int out_w) {
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(fp);
 
-  constexpr float kInv255 = 1.0f / 255.0f;
+  // IEEE division (NOT reciprocal multiply): bit-identical to the PIL
+  // fallback's astype(float32)/255.0 and to the device cache's lossless
+  // uint8 decode (datasets/loader.py::decode_cached_field)
   for (int y = 0; y < h; ++y) {
     const uint8_t* src = buf.data() + y * rowbytes;
     float* dst = out + static_cast<size_t>(y) * w * 3;
     for (int x = 0; x < w; ++x) {
-      dst[x * 3 + 0] = src[x * 4 + 0] * kInv255;
-      dst[x * 3 + 1] = src[x * 4 + 1] * kInv255;
-      dst[x * 3 + 2] = src[x * 4 + 2] * kInv255;
+      dst[x * 3 + 0] = src[x * 4 + 0] / 255.0f;
+      dst[x * 3 + 1] = src[x * 4 + 1] / 255.0f;
+      dst[x * 3 + 2] = src[x * 4 + 2] / 255.0f;
     }
   }
   return kOk;
@@ -192,15 +194,15 @@ int jpeg_decode(const char* path, float* out, int out_h, int out_w) {
   }
 
   row.resize(static_cast<size_t>(w) * cinfo.output_components);
-  constexpr float kInv255 = 1.0f / 255.0f;
+  // IEEE division to match the PIL fallback bit-for-bit (see PNG path)
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* rowptr = row.data();
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
     float* dst = out + static_cast<size_t>(cinfo.output_scanline - 1) * w * 3;
     for (int x = 0; x < w; ++x) {
-      dst[x * 3 + 0] = row[x * 3 + 0] * kInv255;
-      dst[x * 3 + 1] = row[x * 3 + 1] * kInv255;
-      dst[x * 3 + 2] = row[x * 3 + 2] * kInv255;
+      dst[x * 3 + 0] = row[x * 3 + 0] / 255.0f;
+      dst[x * 3 + 1] = row[x * 3 + 1] / 255.0f;
+      dst[x * 3 + 2] = row[x * 3 + 2] / 255.0f;
     }
   }
   jpeg_finish_decompress(&cinfo);

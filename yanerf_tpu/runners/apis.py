@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from yanerf_tpu.datasets.loader import decode_cached_field
 from yanerf_tpu.ops.structures import EvaluationMode
 from yanerf_tpu.parallel.distributed import concat_all_gather, get_rank, get_world_size, is_dist_avail_and_initialized
 from yanerf_tpu.parallel.mesh import DATA_AXIS
@@ -131,7 +132,10 @@ def make_train_step_fused(pipeline, optimizer, data_wrapper, mesh=None, donate=T
         def body(state, idx_row):
             step_rng = jax.random.fold_in(rng, state.step)
             batch = data_wrapper(
-                *[a[idx_row] if hasattr(a, "ndim") and a.ndim > 0 else a for a in arrays]
+                *[
+                    decode_cached_field(a[idx_row]) if hasattr(a, "ndim") and a.ndim > 0 else a
+                    for a in arrays
+                ]
             )._asdict()
 
             def loss_fn(params):
@@ -304,7 +308,10 @@ def _train_one_epoch_fused(
             # single unfused step with MC rasterization for the sanity dump
             idx_row = jnp.asarray(rows[i])
             batch = data_wrapper(
-                *[a[idx_row] if hasattr(a, "ndim") and a.ndim > 0 else a for a in arrays]
+                *[
+                    decode_cached_field(a[idx_row]) if hasattr(a, "ndim") and a.ndim > 0 else a
+                    for a in arrays
+                ]
             )._asdict()
             state, preds = train_step_vis(state, batch, rng)
             last_losses = {k: v for k, v in preds.items() if k.startswith("loss_") or k == "objective"}
