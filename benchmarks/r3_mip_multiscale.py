@@ -1,0 +1,145 @@
+"""Multiscale eval: mip-NeRF IPE vs point PE on renders below train scale.
+
+The published mip-NeRF result: a point-sampled NeRF trained at one scale
+aliases when rendered at lower resolution (each low-res pixel's cone covers
+many training pixels; point samples can't average sub-pixel detail), while
+IPE attenuates frequencies below the footprint and degrades gracefully.
+
+Protocol (mirrors the paper's multiscale benchmark, adapted to the
+procedural scene): take the mip_classic and classic_exact checkpoints the
+A/B queue trained at 800px on data/synth800_ab, render the 32 test views at
+800/400/200px, and score against BOX-DOWNSAMPLED 800px GT (the correct
+anti-aliased target; the generator's own low-res renders would themselves
+be 1-ray-per-pixel aliased). The mip pipeline's ``base_radius`` scales with
+the pixel footprint (x2 at 400px, x4 at 200px) — the param pytree is
+NeRFMLP-compatible, so the same checkpoint loads under any base_radius.
+
+Writes results/mip_multiscale.json. Run AFTER the A/B queue's mip arms:
+    nohup python -u benchmarks/r3_mip_multiscale.py > /tmp/mip_ms.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, str(REPO))
+WORK = REPO / "results" / "nerf" / "ab_r3"
+OUT_JSON = REPO / "results" / "mip_multiscale.json"
+DATA_DIR = REPO / "data" / "synth800_ab"
+SCALES = (1, 2, 4)  # 800 / 400 / 200 px
+BASE_RADIUS_800 = 5.196e-4
+
+
+def latest_ckpt(run_dir: Path):
+    versions = sorted(run_dir.glob("version_*"))
+    if not versions:
+        return None
+    cands = []
+    for p in (versions[-1] / "ckpts").glob("ckpts_*"):
+        m = re.match(r"ckpts_(-?\d+)$", p.name)
+        if m and int(m.group(1)) >= 0:
+            cands.append((int(m.group(1)), p))
+    return max(cands)[1] if cands else None
+
+
+def box_downsample(img: np.ndarray, k: int) -> np.ndarray:
+    h, w, c = img.shape
+    return img.reshape(h // k, k, w // k, k, c).mean(axis=(1, 3))
+
+
+def load_test_frames():
+    import imageio.v2 as imageio
+
+    meta = json.loads((DATA_DIR / "transforms_test.json").read_text())
+    calib = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    poses, images = [], []
+    for fr in meta["frames"]:
+        poses.append((np.asarray(fr["transform_matrix"], dtype=np.float32) @ calib)[:3, :4])
+        img = imageio.imread(DATA_DIR / (fr["file_path"].lstrip("./") + ".png"))
+        images.append(img.astype(np.float32) / 255.0)
+    hw = images[0].shape[0]
+    focal = 0.5 * hw / np.tan(0.5 * meta["camera_angle_x"])
+    return np.stack(poses), float(focal), np.stack(images), hw
+
+
+def eval_arm_at_scale(cfg_path: Path, ckpt: Path, poses, focal_800, gt_800, hw_800, scale: int):
+    import jax
+    import jax.numpy as jnp
+
+    from yanerf_tpu.ops.structures import EvaluationMode
+    from yanerf_tpu.pipelines import PIPELINES
+    from yanerf_tpu.runners import load_checkpoint
+    from yanerf_tpu.utils.config import Config
+
+    cfg = Config.fromfile(str(cfg_path))
+    hw = hw_800 // scale
+    cfg["pipeline"]["ray_sampler"]["image_height"] = hw
+    cfg["pipeline"]["ray_sampler"]["image_width"] = hw
+    if cfg["pipeline"]["model"].get("type") == "MipNeRFMLP":
+        cfg["pipeline"]["model"]["base_radius"] = BASE_RADIUS_800 * scale
+    pipeline = PIPELINES.build(cfg.pipeline)
+    restored = load_checkpoint(ckpt)
+    params = jax.tree_util.tree_map(jnp.asarray, restored["restored"]["params"])
+
+    @jax.jit
+    def render(params, rng, pose, focal):
+        preds = pipeline.forward(
+            params, rng, poses=pose[None], focal_lengths=focal[None],
+            evaluation_mode=EvaluationMode.EVALUATION,
+        )
+        return preds["rendered_images"]
+
+    focal = jnp.asarray([focal_800 / scale], dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    psnrs = []
+    for i in range(len(poses)):
+        rgb = np.asarray(render(params, jax.random.fold_in(rng, i), jnp.asarray(poses[i]), focal))[0]
+        gt = gt_800[i] if scale == 1 else box_downsample(gt_800[i], scale)
+        mse = float(np.mean((rgb.astype(np.float32) - gt) ** 2))
+        psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+    return float(np.mean(psnrs))
+
+
+def main():
+    poses, focal_800, gt_800, hw_800 = load_test_frames()
+    record = {"scene": str(DATA_DIR.relative_to(REPO)), "protocol": (
+        "trained at 800px; rendered at 800/400/200px vs box-downsampled 800px "
+        "GT; mip base_radius scaled with the pixel footprint"
+    ), "runs": {}}
+    if OUT_JSON.exists():
+        record = json.loads(OUT_JSON.read_text())
+    for arm in ("mip_classic_s42", "mip_classic_s43", "classic_exact_s42", "classic_exact_s43"):
+        run_dir = WORK / arm
+        ckpt = latest_ckpt(run_dir)
+        if ckpt is None:
+            print(f"SKIP {arm}: no checkpoint", flush=True)
+            continue
+        for scale in SCALES:
+            key = f"{arm}_x{scale}"
+            if key in record["runs"]:
+                print(f"SKIP {key} (done)", flush=True)
+                continue
+            psnr = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800, gt_800, hw_800, scale)
+            record["runs"][key] = {"arm": arm.rsplit("_s", 1)[0], "scale": scale, "psnr": round(psnr, 3)}
+            # per-(arm, scale) means over seeds
+            agg: dict = {}
+            for r in record["runs"].values():
+                agg.setdefault((r["arm"], r["scale"]), []).append(r["psnr"])
+            record["summary"] = {
+                f"{a}_x{s}": {"n": len(v), "mean_psnr": round(float(np.mean(v)), 3)}
+                for (a, s), v in sorted(agg.items())
+            }
+            OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+            print(f"DONE {key}: {psnr:.3f}", flush=True)
+    print("ALL DONE " + json.dumps(record.get("summary", {})), flush=True)
+
+
+if __name__ == "__main__":
+    main()
