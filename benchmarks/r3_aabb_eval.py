@@ -112,7 +112,11 @@ def main():
             )
             wall = time.time() - t0
             test_psnr = None
-            stats = sorted(out_dir.glob("version_*/test_stats.json"))
+            # --test_only writes test_stats.json at the output_dir top level
+            # (training runs put it under version_N/)
+            stats = sorted(out_dir.glob("version_*/test_stats.json")) + (
+                [out_dir / "test_stats.json"] if (out_dir / "test_stats.json").exists() else []
+            )
             if proc.returncode == 0 and stats:
                 lines = [ln for ln in stats[-1].read_text().splitlines() if ln.strip()]
                 if lines:
