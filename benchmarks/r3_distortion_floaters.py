@@ -1,17 +1,23 @@
-"""Distortion-loss positive control: floater metrics on the sparse-view arms.
+"""Distortion-loss positive control: floater metrics on the reduced-view arms.
 
 VERDICT r2 #5: the distortion loss (mip-NeRF 360 eq. 15) shipped with only
 negative evidence (a clean 100-view scene where it costs PSNR because there
 is nothing to suppress). The A/B queue (benchmarks/r3_ab_queue.py) trains
-w=0 vs w=0.01 arms on the floater-prone regime — 12 training views of
-data/synth800_sparse — but frame-mean PSNR is a blunt probe: floaters are
-sparse opacity blobs hanging in free space, diluted over 640k pixels.
+w=0 vs w=0.01 arms on reduced-view regimes — frame-mean PSNR is a blunt
+probe there: floaters are sparse opacity blobs hanging in free space,
+diluted over 640k pixels. Two regimes (see REGIMES):
 
-This script measures them directly. The procedural GT has an exactly-black
-background (scripts/make_synth_scene.py shades every hit with ambient
->= 0.03, so a pixel is background iff its PNG is 0), giving a perfect
-per-pixel background mask. On each trained arm checkpoint it renders the
-32 test views and reports, over GT-background pixels only:
+  * distortion_*: 12 views, black bg — DEGENERATE control (kept for the
+    record): both arms fill space with black fog (bg_alpha == 1.0), which
+    is free against a black background and not what distortion targets.
+  * floater_*: 24 views, WHITE bg — well-posed: fog costs rgb loss, so
+    surviving background opacity is actual floaters.
+
+This script measures them directly. The procedural GT writes a constant
+background wherever no sphere was hit (ambient shading keeps foreground
+off that value), giving a perfect per-pixel background mask. On each
+trained arm checkpoint it renders the 32 test views and reports, over
+GT-background pixels only:
 
   * bg_alpha_mean   — mean rendered opacity (floater mass seen by rays)
   * bg_floater_frac — fraction of bg pixels with opacity > 0.1 (blob area)
@@ -37,7 +43,16 @@ REPO = Path(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, str(REPO))
 WORK = REPO / "results" / "nerf" / "ab_r3"
 OUT_JSON = REPO / "results" / "distortion_floaters.json"
-DATA_DIR = REPO / "data" / "synth800_sparse"
+
+# arm prefix -> (scene dir, background intensity). The 12-view black-bg
+# control degenerated into uniform black fog (bg_alpha == 1.0 both arms —
+# fog is FREE against a black background); the white-bg 24-view scene is
+# the well-posed follow-up: fog costs rgb loss there, so surviving bg
+# opacity is actual floaters.
+REGIMES = {
+    "distortion": (REPO / "data" / "synth800_sparse", 0.0),
+    "floater": (REPO / "data" / "synth800_floater", 1.0),
+}
 
 
 def latest_ckpt(run_dir: Path) -> Path | None:
@@ -54,15 +69,15 @@ def latest_ckpt(run_dir: Path) -> Path | None:
     return max(cands)[1] if cands else None
 
 
-def load_test_frames():
+def load_test_frames(data_dir: Path):
     import imageio.v2 as imageio
 
-    meta = json.loads((DATA_DIR / "transforms_test.json").read_text())
+    meta = json.loads((data_dir / "transforms_test.json").read_text())
     calib = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
     poses, focals, images = [], [], []
     for fr in meta["frames"]:
         pose = np.asarray(fr["transform_matrix"], dtype=np.float32) @ calib
-        img = imageio.imread(DATA_DIR / (fr["file_path"].lstrip("./") + ".png"))
+        img = imageio.imread(data_dir / (fr["file_path"].lstrip("./") + ".png"))
         images.append(img.astype(np.float32) / 255.0)
         poses.append(pose[:3, :4])
         hw = img.shape[0]
@@ -74,7 +89,7 @@ def load_test_frames():
     )
 
 
-def eval_arm(cfg_path: Path, ckpt: Path, poses, focals, images) -> dict:
+def eval_arm(cfg_path: Path, ckpt: Path, poses, focals, images, bg_value: float) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +118,9 @@ def eval_arm(cfg_path: Path, ckpt: Path, poses, focals, images) -> dict:
         rgb = np.asarray(rgb, dtype=np.float32)[0]  # value fetch = tunnel-safe sync
         alpha = np.asarray(alpha, dtype=np.float32)[0, ..., 0]
         gt = images[i]
-        bg = np.all(gt == 0.0, axis=-1)  # exact: procedural GT background is 0
+        # exact: the generator writes the constant bg intensity wherever no
+        # sphere was hit (ambient shading keeps foreground off that value)
+        bg = np.all(gt == bg_value, axis=-1)
         mse = float(np.mean((rgb - gt) ** 2))
         rows.append(
             dict(
@@ -120,42 +137,48 @@ def eval_arm(cfg_path: Path, ckpt: Path, poses, focals, images) -> dict:
 
 
 def main():
-    poses, focals, images = load_test_frames()
-    record = {"scene": str(DATA_DIR.relative_to(REPO)), "runs": {}, "note": (
-        "bg_* metrics over exactly-black GT background pixels; floaters are "
-        "opacity on rays that should see nothing"
+    record = {"runs": {}, "note": (
+        "bg_* metrics over constant-GT-background pixels; floaters are "
+        "opacity on rays that should see nothing but background"
     )}
     if OUT_JSON.exists():
         record = json.loads(OUT_JSON.read_text())
-    for run_dir in sorted(WORK.glob("distortion_*_s*")):
-        key = run_dir.name
-        if key in record["runs"]:
-            print(f"SKIP {key} (done)", flush=True)
+    frames_cache = {}
+    for prefix, (data_dir, bg_value) in REGIMES.items():
+        if not data_dir.is_dir():
             continue
-        ckpt = latest_ckpt(run_dir)
-        if ckpt is None:
-            print(f"SKIP {key}: no checkpoint", flush=True)
-            continue
-        print(f"EVAL {key}: {ckpt}", flush=True)
-        agg = eval_arm(run_dir / "arm_config.yml", ckpt, poses, focals, images)
-        agg["arm"] = key.rsplit("_s", 1)[0]
-        record["runs"][key] = agg
-        # per-arm means
-        by_arm: dict = {}
-        for r in record["runs"].values():
-            by_arm.setdefault(r["arm"], []).append(r)
-        record["summary"] = {
-            arm: {
-                "n": len(rs),
-                **{
-                    m: round(float(np.mean([r[m] for r in rs])), 5)
-                    for m in ("psnr", "bg_alpha_mean", "bg_floater_frac", "bg_mse")
-                },
+        for run_dir in sorted(WORK.glob(f"{prefix}_*_s*")):
+            key = run_dir.name
+            if key in record["runs"]:
+                print(f"SKIP {key} (done)", flush=True)
+                continue
+            ckpt = latest_ckpt(run_dir)
+            if ckpt is None:
+                print(f"SKIP {key}: no checkpoint", flush=True)
+                continue
+            if prefix not in frames_cache:
+                frames_cache[prefix] = load_test_frames(data_dir)
+            poses, focals, images = frames_cache[prefix]
+            print(f"EVAL {key}: {ckpt}", flush=True)
+            agg = eval_arm(run_dir / "arm_config.yml", ckpt, poses, focals, images, bg_value)
+            agg["arm"] = key.rsplit("_s", 1)[0]
+            record["runs"][key] = agg
+            # per-arm means
+            by_arm: dict = {}
+            for r in record["runs"].values():
+                by_arm.setdefault(r["arm"], []).append(r)
+            record["summary"] = {
+                arm: {
+                    "n": len(rs),
+                    **{
+                        m: round(float(np.mean([r[m] for r in rs])), 5)
+                        for m in ("psnr", "bg_alpha_mean", "bg_floater_frac", "bg_mse")
+                    },
+                }
+                for arm, rs in by_arm.items()
             }
-            for arm, rs in by_arm.items()
-        }
-        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
-        print(f"DONE {key}: {json.dumps(agg)}", flush=True)
+            OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+            print(f"DONE {key}: {json.dumps(agg)}", flush=True)
     print("ALL DONE " + json.dumps(record.get("summary", {})), flush=True)
 
 

@@ -62,6 +62,7 @@ def render(
     centers: np.ndarray,
     radii: np.ndarray,
     albedos: np.ndarray,
+    bg: float = 0.0,
 ) -> np.ndarray:
     """Trace primary rays against the spheres; two-light Lambertian shading."""
     # The loader right-multiplies by diag(1,-1,-1,1); reproduce it so GT rays
@@ -76,7 +77,7 @@ def render(
     dnorm = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
 
     t_best = np.full((hw, hw), np.inf)
-    color = np.zeros((hw, hw, 3))
+    color = np.full((hw, hw, 3), bg)
     lights = [
         (np.array([0.4, 0.3, 0.85]) / np.linalg.norm([0.4, 0.3, 0.85]), 0.9),
         (np.array([-0.6, -0.2, 0.5]) / np.linalg.norm([-0.6, -0.2, 0.5]), 0.45),
@@ -109,6 +110,11 @@ def main():
     ap.add_argument("--n_spheres", type=int, default=6)
     ap.add_argument("--radius", type=float, default=4.0, help="camera orbit radius")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--bg", type=float, default=0.0,
+        help="background intensity (1.0 = white; a non-black bg makes density "
+        "fog COST rgb loss, the well-posed regime for floater/regularizer A/Bs)",
+    )
     args = ap.parse_args()
 
     from PIL import Image
@@ -130,7 +136,7 @@ def main():
                 [np.cos(u) * np.cos(elev), np.sin(u) * np.cos(elev), np.sin(elev)]
             )
             c2w = look_at_blender(position, np.array([0.0, 0.0, 0.3]))
-            img = render(c2w, args.hw, focal, centers, radii, albedos)
+            img = render(c2w, args.hw, focal, centers, radii, albedos, bg=args.bg)
             name = f"r_{split}_{i}"
             Image.fromarray((img * 255).astype(np.uint8)).save(out / f"{name}.png")
             frames.append({"file_path": f"./{name}", "transform_matrix": c2w.tolist()})
