@@ -27,6 +27,7 @@ COMPARISONS = [
     ("distortion_w001", "distortion_w0", "distortion 0.01 vs 0 on sparse-view floater regime"),
     ("two_level_40k", "classic_exact", "proposal 40k (matched ~wall) vs classic 64+192 20k"),
     ("mip_classic", "classic_exact", "mip-NeRF IPE vs point PE on the classic schedule"),
+    ("floater_w001", "floater_w0", "distortion 0.01 vs 0, white-bg 24-view floater regime"),
 ]
 
 
