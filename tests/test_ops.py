@@ -408,6 +408,20 @@ def test_weighted_sample_with_replacement_distribution():
         assert len(np.unique(row)) > 55
 
 
+def test_uniform_sample_with_replacement_bounds_and_coverage():
+    """The no-mask randint fast path (ray_sampler.pixel_replacement)."""
+    from yanerf_tpu.ops.sampling import uniform_sample_with_replacement
+
+    idx = uniform_sample_with_replacement(jax.random.PRNGKey(0), 3, 64, 2000)
+    assert idx.shape == (3, 2000) and idx.dtype == jnp.int32
+    arr = np.asarray(idx)
+    assert arr.min() >= 0 and arr.max() < 64
+    for row in arr:
+        assert len(np.unique(row)) > 55  # covers the domain
+    # rows are independent draws
+    assert not np.array_equal(arr[0], arr[1])
+
+
 def test_calc_ssim_properties():
     from yanerf_tpu.ops.metrics import calc_ssim
 
