@@ -1,0 +1,46 @@
+"""benchmarks/multichip_scaling.py smoke: the scaling runbook runs end-to-end
+on the virtual 8-device CPU mesh, exercising the same mesh/sharding code at
+every power-of-two size it will measure on real multi-chip hardware."""
+
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.slow
+def test_multichip_scaling_smoke(tmp_path):
+    out = tmp_path / "multichip_scaling.json"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+    )
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    result = subprocess.run(
+        [
+            sys.executable, "benchmarks/multichip_scaling.py",
+            "--smoke", "--device", "cpu", "--out", str(out),
+        ],
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+
+    record = json.loads(out.read_text())
+    assert record["mode"] == "smoke"
+    assert record["n_devices"] == 8
+    for size in ("1", "2", "4", "8"):
+        train = record["train"][size]
+        assert train["global_rays_per_sec"] > 0
+        assert train["ms_per_step"] > 0
+        assert 0 < train["efficiency_vs_1chip"]
+        assert record["eval"][size]["fps"] > 0
+    # size-1 efficiency is 1.0 by construction — a sanity anchor
+    assert record["train"]["1"]["efficiency_vs_1chip"] == 1.0
+    assert record["eval"]["1"]["efficiency_vs_1chip"] == 1.0
