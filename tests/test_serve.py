@@ -132,6 +132,49 @@ def test_bad_requests(server_url):
     assert raised
 
 
+def test_service_renders_proposal_family():
+    """The flagship (two-level proposal) family serves through the same
+    RenderService path — structure identical to lego_proposal.yml at tiny
+    widths."""
+    import jax
+
+    from scripts.serve import RenderService, orbit_pose
+    from yanerf_tpu.datasets.blender import CAM_CALIBRATION
+    from yanerf_tpu.pipelines import PIPELINES
+
+    cfg = dict(
+        type="NeRFPipeline",
+        chunk_size_grid=64,
+        num_passes=3,
+        output_rasterized_mc=False,
+        loss_weights={"loss_rgb_mse": 1.0, "loss_proposal": 1.0},
+        model=[
+            dict(type="ProposalMLP", n_layers=2, hidden_dim=16),
+            dict(type="ProposalMLP", n_layers=2, hidden_dim=16),
+            dict(type="NeRFMLP", n_layers=2, input_skips=[1], n_harmonic_functions_xyz=2,
+                 n_harmonic_functions_dir=1, n_hidden_neurons_xyz=16, n_hidden_neurons_dir=8),
+        ],
+        ray_sampler=dict(
+            type="RaySampler", image_height=HW, image_width=HW, min_depth=1.0,
+            max_depth=3.0, n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+            n_rays_per_image_sampled_from_mask=8,
+        ),
+        renderer=dict(
+            type="ProposalEmissionAbsorpsionRenderer", n_pts_per_ray_final_training=3,
+            n_pts_per_ray_final_evaluation=3, n_pts_per_ray_intermediate_training=[3],
+            n_pts_per_ray_intermediate_evaluation=[3], bg_color=[0.0, 0.0, 0.0],
+        ),
+        feature_extractor=[],
+    )
+    pipeline = PIPELINES.build(cfg)
+    params = pipeline.init(jax.random.PRNGKey(0))
+    service = RenderService(pipeline, params, 10.0, (HW, HW), bounds=(1.0, 3.0))
+    pose_world = (orbit_pose(30.0, -30.0, 2.0) @ CAM_CALIBRATION)[:3, :4]
+    rgb, depth = service.render(pose_world.astype(np.float32), 10.0)
+    assert rgb.shape == (HW, HW, 3) and np.all(np.isfinite(rgb))
+    assert depth.shape[:2] == (HW, HW) and np.all(np.isfinite(depth))
+
+
 def test_render_counter_advances(server_url):
     _, _, payload = _get(f"{server_url}/health")
     stats = json.loads(payload)
