@@ -21,6 +21,10 @@ Endpoints:
   GET  /render?theta=DEG&phi=DEG&radius=R[&focal=F][&output=rgb|depth]
                           orbit camera (Blender convention, z-up), handy
                           for browsers / curl smoke checks
+  GET  /trajectory?n=20&radius=4&phi=-30[&fps=15][&focal=F]
+                          full orbit as an animated GIF, rendered with one
+                          frame in flight (the measured 2.1x serving
+                          pattern, docs/serving.md)
 
 Quality/latency is set by the config's eval point budget and chunk size —
 see docs/serving.md for the measured ladder (e.g. the two-level proposal
@@ -143,6 +147,44 @@ class RenderService:
             self.total_render_s += time.perf_counter() - t0
         return rgb, depth
 
+    def render_trajectory(self, n_frames: int, radius: float, phi: float, focal=None):
+        """Orbit trajectory with one frame in flight (dispatch i+1 before
+        fetching i — the measured 2.1x serving pattern, docs/serving.md)."""
+        import jax
+        import jax.numpy as jnp
+
+        from yanerf_tpu.datasets.blender import CAM_CALIBRATION
+
+        focal = self.default_focal if focal is None else float(focal)
+        lo, hi = self.default_bounds
+        poses = [
+            jnp.asarray(
+                (orbit_pose(360.0 * i / n_frames, phi, radius) @ CAM_CALIBRATION)[:3, :4],
+                dtype=jnp.float32,
+            )
+            for i in range(n_frames)
+        ]
+        focal_arr = jnp.asarray([focal], dtype=jnp.float32)
+        lo = None if lo is None else jnp.float32(lo)
+        hi = None if hi is None else jnp.float32(hi)
+        frames = []
+        with self._lock:
+            t0 = time.perf_counter()
+
+            def dispatch(pose):
+                self._rng, key = jax.random.split(self._rng)
+                return self._render(self._params, key, pose, focal_arr, lo, hi)
+
+            pending = dispatch(poses[0])
+            for pose in poses[1:]:
+                nxt = dispatch(pose)
+                frames.append(np.asarray(pending[0])[0])
+                pending = nxt
+            frames.append(np.asarray(pending[0])[0])
+            self.n_renders += n_frames
+            self.total_render_s += time.perf_counter() - t0
+        return frames
+
     def stats(self):
         n = self.n_renders
         return {
@@ -174,6 +216,18 @@ def _png_bytes(img_u8: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _gif_bytes(frames_u8, fps: float) -> bytes:
+    from PIL import Image
+
+    ims = [Image.fromarray(f) for f in frames_u8]
+    buf = io.BytesIO()
+    ims[0].save(
+        buf, format="GIF", save_all=True, append_images=ims[1:],
+        duration=int(1000 / max(fps, 0.1)), loop=0,
+    )
+    return buf.getvalue()
+
+
 def make_handler(service: RenderService):
     from yanerf_tpu.runners import to_img
 
@@ -193,7 +247,10 @@ def make_handler(service: RenderService):
             self._send(code, "application/json", json.dumps(obj).encode())
 
         def _reply_render(self, pose_world, focal, output, fmt, min_depth=None, max_depth=None):
-            rgb, depth = service.render(pose_world, focal, min_depth, max_depth)
+            try:
+                rgb, depth = service.render(pose_world, focal, min_depth, max_depth)
+            except Exception as e:  # render failure must not drop the connection
+                return self._send_json({"error": f"render failed: {e}"}, code=500)
             arr = depth / max(float(depth.max()), 1e-6) if output == "depth" else rgb
             if fmt == "json":
                 self._send_json({"shape": list(arr.shape), "data": np.asarray(arr, dtype=float).tolist()})
@@ -227,6 +284,21 @@ def make_handler(service: RenderService):
                 except (ValueError, KeyError) as e:
                     return self._send_json({"error": str(e)}, code=400)
                 return self._reply_render(pose_world, focal, output, q.get("format", "png"))
+            if url.path == "/trajectory":
+                q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+                try:
+                    n = max(2, min(int(q.get("n", 20)), 240))
+                    radius = float(q.get("radius", 4.0))
+                    phi = float(q.get("phi", -30.0))
+                    fps = float(q.get("fps", 15.0))
+                    focal = float(q["focal"]) if "focal" in q else None
+                except ValueError as e:
+                    return self._send_json({"error": str(e)}, code=400)
+                try:
+                    frames = service.render_trajectory(n, radius, phi, focal)
+                except Exception as e:
+                    return self._send_json({"error": f"render failed: {e}"}, code=500)
+                return self._send(200, "image/gif", _gif_bytes([to_img(f) for f in frames], fps))
             self._send_json({"error": f"unknown path {url.path}"}, code=404)
 
         def do_POST(self):  # noqa: N802

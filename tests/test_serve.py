@@ -132,6 +132,14 @@ def test_bad_requests(server_url):
     assert raised
 
 
+def test_trajectory_gif(server_url):
+    status, ctype, payload = _get(f"{server_url}/trajectory?n=3&radius=4&phi=-30")
+    assert status == 200 and ctype == "image/gif"
+    gif = Image.open(io.BytesIO(payload))
+    assert gif.size == (HW, HW)
+    gif.seek(2)  # three frames present
+
+
 def test_service_renders_proposal_family():
     """The flagship (two-level proposal) family serves through the same
     RenderService path — structure identical to lego_proposal.yml at tiny
