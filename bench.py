@@ -23,18 +23,55 @@ The same JSON line also records (VERDICT r2 #1):
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 from typing import NamedTuple
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
 
 def _progress(msg: str) -> None:
-    # progress goes to stderr so stdout stays exactly ONE JSON line; through
-    # the slow remote compile tunnel a silent multi-minute phase is
-    # indistinguishable from a hang without this
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    # progress goes to stderr so stdout stays JSON-only; through the slow
+    # remote compile tunnel a silent multi-minute phase is indistinguishable
+    # from a hang without this
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+def _run_phase(name: str, fn, deadline_s: float) -> bool:
+    """Run one bench phase under a hard SIGALRM deadline.
+
+    Round-3 postmortem: the bench ran five compile-heavy phases and printed
+    its single JSON line only at the very end — one slow remote compile and
+    the driver's timeout produced BENCH_r03.json with ``parsed: null``,
+    losing the whole round's numbers. Now every phase is individually
+    fenced, and the caller re-prints a complete JSON line after each phase,
+    so a later stall can only cost the *later* fields.
+    """
+
+    def _handler(signum, frame):
+        raise PhaseTimeout(name)
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(max(1, int(deadline_s)))
+    try:
+        fn()
+        return True
+    except PhaseTimeout:
+        _progress(f"{name}: TIMED OUT after {deadline_s:.0f}s — skipping to next phase")
+        return False
+    except Exception as exc:  # noqa: BLE001 — a failed phase must not kill the bench
+        _progress(f"{name}: FAILED ({type(exc).__name__}: {exc}) — skipping")
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 class Wrapper(NamedTuple):
@@ -197,7 +234,53 @@ def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2):
     return best
 
 
+_BASELINE = 200_000 * 4096 / (4 * 3600) / 4  # ~14.2k rays/s per ref GPU (ref README.md:68)
+
+
+def _emit(results: dict) -> None:
+    """Print ONE complete JSON line from whatever has been measured so far.
+
+    Called after every phase; each line is a superset of the previous one,
+    so the driver's "last parsable line" is always the richest record even
+    if the process is timeout-killed mid-phase.
+    """
+    line = None
+    if "proposal_rays" in results:
+        line = {
+            "metric": "proposal_train_rays_per_sec_per_chip",
+            "value": round(results["proposal_rays"], 1),
+            "unit": "rays/s/chip (shipped two-level proposal config: 4096 rays, 64->64->48 pts, bf16)",
+            "vs_baseline": round(results["proposal_rays"] / _BASELINE, 3),
+        }
+    elif "classic_rays" in results:
+        line = {
+            "metric": "classic_train_rays_per_sec_per_chip",
+            "value": round(results["classic_rays"], 1),
+            "unit": "rays/s/chip (reference 64+128 schedule: 4096 rays, bf16)",
+            "vs_baseline": round(results["classic_rays"] / _BASELINE, 3),
+        }
+    if line is None:
+        return
+    if "classic_rays" in results:
+        line["classic_train_rays_per_sec_per_chip"] = round(results["classic_rays"], 1)
+        line["classic_vs_baseline"] = round(results["classic_rays"] / _BASELINE, 3)
+    if "fused_s" in results:
+        line["fused_wall_ms_per_iter"] = round(results["fused_s"] * 1e3, 2)
+        # minutes for the tuned 20k-iter schedule (34.96-36.63 test PSNR
+        # band, results/proposal_quality.json) at the fused rate measured here
+        line["time_to_35psnr_class_min"] = round(results["fused_s"] * 20_000 / 60.0, 2)
+    if "fps_full" in results:
+        line["eval_fps_800px_full_budget"] = round(results["fps_full"], 3)
+    if "fps_frontier" in results:
+        line["eval_fps_800px_frontier_16_16_8"] = round(results["fps_frontier"], 3)
+    print(json.dumps(line), flush=True)
+
+
 def main():
+    import os
+
+    budget_s = float(os.environ.get("YANERF_BENCH_BUDGET_S", "1320"))
+
     import jax
 
     from yanerf_tpu.utils.cache import enable_compilation_cache
@@ -209,66 +292,73 @@ def main():
 
     N_RAYS = 4096
     IMAGE_HW = 800
-    baseline = 200_000 * 4096 / (4 * 3600) / 4  # ~14.2k rays/s per ref GPU
     n_chips = jax.local_device_count()
-    _progress(f"devices: {n_chips} ({jax.devices()[0].platform})")
+    _progress(f"devices: {n_chips} ({jax.devices()[0].platform}); budget {budget_s:.0f}s")
     batch = prepare_batch(_example_batch(1, IMAGE_HW), Wrapper, None)
+    results: dict = {}
 
-    # 1. classic 64+128 schedule first (apples-to-apples with the reference
-    # step, and the compile most likely to be cache-warm)
-    _progress("classic train step: compiling...")
-    classic = _flagship_pipeline(
-        n_rays=N_RAYS, image_hw=IMAGE_HW, compute_dtype="bfloat16", approx_top_k=True
-    )
-    classic_dt = _time_train_steps(classic, batch, n_steps=50)
-    classic_rays = N_RAYS / classic_dt / n_chips
-    _progress(f"classic: {classic_dt*1e3:.1f} ms/step = {classic_rays:.0f} rays/s/chip")
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - _T0)
 
-    # 2. flagship: two-level proposal train step
-    _progress("proposal train step: compiling...")
-    prop = _proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW)
-    prop_dt = _time_train_steps(prop, batch, n_steps=100)
-    prop_rays = N_RAYS / prop_dt / n_chips
-    _progress(f"proposal: {prop_dt*1e3:.1f} ms/step = {prop_rays:.0f} rays/s/chip")
+    # Phases in VALUE order: the headline metric first, enrichments after.
+    # Each phase is fenced by a hard deadline and followed by a fresh
+    # complete JSON line (see _run_phase docstring for the round-3 story).
 
-    # 3. fused K-step dispatch: end-to-end wall per optimizer step
-    _progress("fused K=20 dispatch: compiling...")
-    fused_s = _time_fused(_proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW), IMAGE_HW)
-    _progress(f"fused: {fused_s*1e3:.1f} ms/iter wall")
+    def phase_proposal():
+        _progress("proposal train step: compiling...")
+        prop = _proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW)
+        prop_dt = _time_train_steps(prop, batch, n_steps=100)
+        results["proposal_rays"] = N_RAYS / prop_dt / n_chips
+        _progress(f"proposal: {prop_dt*1e3:.1f} ms/step = {results['proposal_rays']:.0f} rays/s/chip")
 
-    # 4. eval fps: full budget and the measured frontier point (16-16-8)
-    _progress("eval full budget: compiling...")
-    fps_full = _time_eval_fps(_proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW))
-    _progress(f"eval full: {fps_full:.2f} fps; frontier: compiling...")
-    fps_frontier = _time_eval_fps(
-        _proposal_pipeline(
-            n_rays=N_RAYS, image_hw=IMAGE_HW,
-            eval_sampler_pts=16, eval_intermediate=(16,), eval_final=8,
-        ),
-        n_frames=8,
-    )
-    _progress(f"eval frontier: {fps_frontier:.2f} fps")
-
-    # minutes for the tuned 20k-iter schedule (34.96-36.63 test PSNR band,
-    # results/proposal_quality.json) at the fused wall rate measured here
-    time_to_quality_min = fused_s * 20_000 / 60.0
-
-    print(
-        json.dumps(
-            {
-                "metric": "proposal_train_rays_per_sec_per_chip",
-                "value": round(prop_rays, 1),
-                "unit": "rays/s/chip (shipped two-level proposal config: 4096 rays, 64->64->48 pts, bf16)",
-                "vs_baseline": round(prop_rays / baseline, 3),
-                "classic_train_rays_per_sec_per_chip": round(classic_rays, 1),
-                "classic_vs_baseline": round(classic_rays / baseline, 3),
-                "fused_wall_ms_per_iter": round(fused_s * 1e3, 2),
-                "eval_fps_800px_full_budget": round(fps_full, 3),
-                "eval_fps_800px_frontier_16_16_8": round(fps_frontier, 3),
-                "time_to_35psnr_class_min": round(time_to_quality_min, 2),
-            }
+    def phase_classic():
+        _progress("classic train step: compiling...")
+        classic = _flagship_pipeline(
+            n_rays=N_RAYS, image_hw=IMAGE_HW, compute_dtype="bfloat16", approx_top_k=True
         )
-    )
+        classic_dt = _time_train_steps(classic, batch, n_steps=50)
+        results["classic_rays"] = N_RAYS / classic_dt / n_chips
+        _progress(f"classic: {classic_dt*1e3:.1f} ms/step = {results['classic_rays']:.0f} rays/s/chip")
+
+    def phase_fused():
+        _progress("fused K=20 dispatch: compiling...")
+        results["fused_s"] = _time_fused(_proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW), IMAGE_HW)
+        _progress(f"fused: {results['fused_s']*1e3:.1f} ms/iter wall")
+
+    def phase_eval_full():
+        _progress("eval full budget: compiling...")
+        results["fps_full"] = _time_eval_fps(_proposal_pipeline(n_rays=N_RAYS, image_hw=IMAGE_HW))
+        _progress(f"eval full: {results['fps_full']:.2f} fps")
+
+    def phase_eval_frontier():
+        _progress("eval frontier (16-16-8): compiling...")
+        results["fps_frontier"] = _time_eval_fps(
+            _proposal_pipeline(
+                n_rays=N_RAYS, image_hw=IMAGE_HW,
+                eval_sampler_pts=16, eval_intermediate=(16,), eval_final=8,
+            ),
+            n_frames=8,
+        )
+        _progress(f"eval frontier: {results['fps_frontier']:.2f} fps")
+
+    phases = [
+        ("proposal", phase_proposal, 600.0),
+        ("classic", phase_classic, 360.0),
+        ("fused", phase_fused, 360.0),
+        ("eval_full", phase_eval_full, 300.0),
+        ("eval_frontier", phase_eval_frontier, 240.0),
+    ]
+    for name, fn, deadline in phases:
+        left = remaining()
+        if left < 90.0:
+            _progress(f"{name}: SKIPPED (only {left:.0f}s of budget left)")
+            continue
+        _run_phase(name, fn, min(deadline, left))
+        _emit(results)
+
+    if not results:
+        _progress("no phase completed inside the budget — no JSON emitted")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
