@@ -281,9 +281,23 @@ class Config:
 
     # -- constructors ------------------------------------------------------
     @staticmethod
-    def fromfile(filename: Union[str, os.PathLike]) -> "Config":
+    def fromfile(filename: Union[str, os.PathLike], import_custom_modules: bool = True) -> "Config":
+        """Load a config file.
+
+        When the config carries a ``custom_imports`` section, the named
+        modules are imported here so out-of-tree components can register
+        themselves into the registries from a config file alone (the
+        third-party extension seam; ref yanerf/utils/config.py:322-323)::
+
+            custom_imports = dict(imports=["my_pkg.my_model"],
+                                  allow_failed_imports=False)
+        """
         filename = str(filename)
         cfg_dict, cfg_text = _file_to_dict(filename)
+        if import_custom_modules and cfg_dict.get("custom_imports"):
+            from .misc import import_modules_from_strings
+
+            import_modules_from_strings(**cfg_dict["custom_imports"])
         return Config(cfg_dict, cfg_text=cfg_text, filename=filename)
 
     @staticmethod
