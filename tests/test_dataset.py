@@ -242,3 +242,42 @@ def test_device_cache_uint8_quantization_lossless(blender_root):
     assert cached._maybe_quantize(arbitrary).dtype == np.float32
     # decode passes non-uint8 fields through untouched
     assert decode_cached_field(arbitrary) is arbitrary
+
+
+def test_device_cache_quantize_skips_out_of_range_fields(blender_root):
+    """ADVICE r3: pose-like f32 fields with negative entries must be gated by
+    a range check (no undefined float->uint8 cast, no RuntimeWarning) and the
+    cache-fit estimate must use the ACTUAL quantization outcome."""
+    import warnings
+
+    from yanerf_tpu.datasets import DeviceCachedLoader
+
+    ds = BlenderDataset(str(blender_root), "train")
+    cached = DeviceCachedLoader(
+        create_loader(ds, create_sampler(ds, shuffle=False), batch_size=2, num_workers=0, is_train=False),
+        quantize_images=True,
+    )
+    poses = np.stack([np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)] * 3)[..., :4]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        out = cached._maybe_quantize(poses)
+    assert out.dtype == np.float32 and out is poses
+
+    # estimate path: a dataset whose image-shaped field does NOT quantize
+    # (arbitrary floats) must fall back when the UNSHRUNK size exceeds
+    # max_bytes, instead of assuming a blanket 4x shrink
+    class FloatDs:
+        data_wrapper = None
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return (rng.rand(8, 8, 3).astype(np.float32) * 0.9999,)
+
+    ds2 = FloatDs()
+    loader = create_loader(ds2, create_sampler(ds2, shuffle=False), batch_size=2, num_workers=0, is_train=False)
+    budget = 4 * 8 * 8 * 3 * 4 // 2  # fits only if the bogus 4x shrink applied
+    cached2 = DeviceCachedLoader(loader, quantize_images=True, max_bytes=budget)
+    assert cached2._ensure_cache() is False  # falls back, no HBM blowout

@@ -198,3 +198,52 @@ def test_evaluate_vertex_colors_matches_direct_apply(tmp_path):
     # length mismatch rejected
     with pytest.raises(ValueError):
         save_obj(str(path), verts, faces, colors=colors[:-1])
+
+
+def test_evaluate_density_grid_mip_model(tmp_path):
+    """ADVICE r3: interval-based models (MipNeRFMLP raises on < 2 samples)
+    must work through the point-query seam used by extract_mesh/fit_aabb."""
+    import jax
+
+    from yanerf_tpu.models import MODELS
+    from yanerf_tpu.ops.mesh import evaluate_vertex_colors
+
+    model = MODELS.build(
+        dict(
+            type="MipNeRFMLP",
+            base_radius=5.196e-4,
+            n_layers=2,
+            input_skips=[1],
+            n_harmonic_functions_xyz=2,
+            n_harmonic_functions_dir=1,
+            n_hidden_neurons_xyz=16,
+            n_hidden_neurons_dir=8,
+            latent_dim=0,
+            color_dim=3,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    res = 5
+    grid = evaluate_density_grid(model, params, resolution=res, bounds=(-1.0, 1.0), chunk=32)
+    assert grid.shape == (res, res, res)
+    assert np.isfinite(grid).all()
+
+    # the vanishing-footprint probe must agree with a direct 2-sample apply
+    # whose first interval is centred at the lattice point
+    axis = np.linspace(-1.0, 1.0, res, dtype=np.float32)
+    i, j, k = 1, 2, 3
+    pt = np.array([axis[i], axis[j], axis[k]], np.float32)
+    out = model.apply(
+        params,
+        pt.reshape(1, 1, 3),
+        np.array([[[0.0, 0.0, 1.0]]], np.float32),
+        np.array([[[0.0, 1e-3]]], np.float32),
+    )
+    want = max(float(np.asarray(out["rays_densities"])[0, 0, 0, 0]), 0.0)
+    np.testing.assert_allclose(grid[i, j, k], want, rtol=1e-4, atol=1e-5)
+
+    verts = np.array([[0.1, 0.2, 0.3]], np.float32)
+    normals = np.array([[0.0, 0.0, 1.0]], np.float32)
+    colors = evaluate_vertex_colors(model, params, verts, normals)
+    assert colors.shape == (1, 3)
+    assert np.isfinite(colors).all()

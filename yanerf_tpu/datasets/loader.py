@@ -286,6 +286,12 @@ class DeviceCachedLoader:
             and isinstance(f, np.ndarray)
             and f.dtype == np.float32
             and f.ndim >= 3  # image-shaped; poses/focals stay f32
+            # range gate: float->uint8 casts of negative/out-of-range values
+            # are undefined behavior in numpy (RuntimeWarnings on >=2.0), and
+            # obviously-non-image fields skip the round-trip compare entirely
+            and f.size > 0
+            and float(f.min()) >= 0.0
+            and float(f.max()) <= 1.0
         ):
             u8 = np.round(f * 255.0).astype(np.uint8)
             if np.array_equal(u8.astype(np.float32) / 255.0, f):
@@ -302,16 +308,15 @@ class DeviceCachedLoader:
     def _ensure_cache(self) -> bool:
         if self._fits is not None:
             return self._fits
+        # estimate from the ACTUAL quantization outcome on a probe item: a
+        # field whose k/255 exactness check fails stays f32, so assuming a
+        # blanket 4x shrink could blow past max_bytes/HBM (ADVICE r3)
         probe = self.dataset[0]
         item_bytes = 0
         for f in probe:
             if not isinstance(f, np.ndarray):
                 continue
-            # image-shaped f32 fields shrink 4x under lossless quantization
-            if self.quantize_images and f.dtype == np.float32 and f.ndim >= 3:
-                item_bytes += f.nbytes // 4
-            else:
-                item_bytes += f.nbytes
+            item_bytes += self._maybe_quantize(f).nbytes
         if item_bytes * len(self.dataset) > self.max_bytes:
             self._fits = False
             return False
@@ -319,6 +324,12 @@ class DeviceCachedLoader:
 
         items = [self.dataset[i] for i in range(len(self.dataset))]
         stacked = tuple(self._maybe_quantize(f) for f in stack_batch(items))
+        # re-check the real post-quantization total (items can differ from
+        # the probe) before committing device memory
+        total = sum(f.nbytes for f in stacked if isinstance(f, np.ndarray))
+        if total > self.max_bytes:
+            self._fits = False
+            return False
         self._arrays = tuple(
             jax.device_put(f) if isinstance(f, np.ndarray) else f for f in stacked
         )

@@ -48,6 +48,10 @@ class MipNeRFMLP(NeRFMLP):
             point NeRF and loses the anti-aliasing it exists for.
     """
 
+    # interval-based density: point queries (mesh extraction, AABB fitting)
+    # must provide >= 2 samples per ray (ops/mesh.py::_point_query)
+    min_samples_per_ray = 2
+
     def __init__(self, base_radius: float, **kwargs) -> None:
         if base_radius <= 0.0:
             raise ValueError(f"base_radius must be > 0, got {base_radius}")

@@ -29,6 +29,28 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import numpy as np
 
 
+def _point_query(model: Any, params: Dict[str, Any], origins, directions):
+    """Query a model at exact points through the ray contract.
+
+    Standard models take one zero-length sample (point == origin).
+    Interval-based models (``min_samples_per_ray == 2``, e.g. MipNeRFMLP,
+    which raises on fewer than 2 samples) get two samples ``[0, eps]``:
+    ``intervals_from_midpoints`` then centres interval 0 at ``t == 0``
+    (boundaries ``[-eps/2, eps/2]``) with a vanishing footprint, so IPE
+    degenerates to plain PE at the query point. Either way the caller reads
+    sample index 0 of the output.
+    """
+    import jax.numpy as jnp
+
+    n_min = int(getattr(model, "min_samples_per_ray", 1))
+    zero = jnp.zeros(origins.shape[:-1] + (1,), origins.dtype)
+    if n_min <= 1:
+        lengths = zero
+    else:
+        lengths = jnp.concatenate([zero, jnp.full_like(zero, 1e-3)], axis=-1)
+    return model.apply(params, origins, directions, lengths)
+
+
 def evaluate_density_grid(
     model: Any,
     params: Dict[str, Any],
@@ -75,12 +97,11 @@ def evaluate_density_grid(
         density_activation = jax.nn.relu
 
     def density_chunk(points):
-        # (chunk, 3) -> (chunk,) via the ray contract: one zero-length
-        # sample per "ray" puts the sample point exactly at the origin
+        # (chunk, 3) -> (chunk,) via the ray contract: sample 0 of a point
+        # probe sits exactly at the origin (see _point_query)
         origins = points[None]  # (1, chunk, 3)
         directions = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], points.dtype), origins.shape)
-        lengths = jnp.zeros((1, points.shape[0], 1), points.dtype)
-        out = model.apply(params, origins, directions, lengths)
+        out = _point_query(model, params, origins, directions)
         return density_activation(out["rays_densities"][0, :, 0, 0].astype(jnp.float32))
 
     grid = jax.jit(lambda p: jax.lax.map(density_chunk, p))(jnp.asarray(pts))
@@ -317,8 +338,7 @@ def evaluate_vertex_colors(
 
     def color_chunk(inp):
         points, directions = inp
-        lengths = jnp.zeros((1, points.shape[0], 1), points.dtype)
-        out = model.apply(params, points[None], directions[None], lengths)
+        out = _point_query(model, params, points[None], directions[None])
         return out["rays_features"][0, :, 0, :3].astype(jnp.float32)
 
     colors = jax.jit(lambda p, d: jax.lax.map(color_chunk, (p, d)))(jnp.asarray(pts), jnp.asarray(dirs))
