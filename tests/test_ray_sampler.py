@@ -281,3 +281,33 @@ def test_fit_scene_aabb_sphere():
     np.testing.assert_allclose(aabb[1], [r + spacing] * 3, atol=spacing)
     with pytest.raises(ValueError, match="no density"):
         fit_scene_aabb(grid, (lo, hi), threshold=100.0)
+
+
+def test_sampler_scene_aabb_eval_only():
+    """scene_aabb_eval_only applies the box at EVALUATION but leaves the
+    TRAINING half untightened (ships the measured eval win without touching
+    the training recipe; results/aabb_eval.json)."""
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    cfg.ray_sampler.scene_aabb = [-0.5, -0.5, 2.0, 0.5, 0.5, 3.0]
+    cfg.ray_sampler.scene_aabb_eval_only = True
+    cfg.ray_sampler.n_pts_per_ray_training = 16
+    cfg.ray_sampler.n_pts_per_ray_evaluation = 16
+    sampler = RAY_SAMPLERS.build(cfg.ray_sampler)
+    poses, focals = _cams()
+    import jax
+
+    train_bundle = sampler(
+        jax.random.PRNGKey(0), poses, focals, EvaluationMode.TRAINING,
+        min_depth=0.1, max_depth=10.0,
+    )
+    train_lengths = np.asarray(train_bundle.lengths)
+    # training half untightened: depth samples span the full [0.1, 10] range
+    assert train_lengths.min() < 1.0
+    eval_bundle = sampler(None, poses, focals, EvaluationMode.EVALUATION, min_depth=0.1, max_depth=10.0)
+    eval_lengths = np.asarray(eval_bundle.lengths)
+    # eval half tightened: every sample either inside ~[2, 3] or collapsed
+    # to the far plane (miss)
+    inside = (eval_lengths >= 2.0 - 1e-4) & (eval_lengths <= 3.0 + 1e-4)
+    misses = np.isclose(eval_lengths, 10.0)
+    assert (inside | misses).all()
+    assert inside.any()
