@@ -244,3 +244,36 @@ def test_encode_chunked_matches_unchunked():
     g_plain = jax.grad(loss(m_plain))(params["tables"])
     for gc, gp in zip(g_chunked, g_plain):
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), rtol=1e-5, atol=1e-6)
+
+
+def test_table_lookup_bwd_scan_path_matches_flat(monkeypatch):
+    """The compile-safe lax.scan backward (used above the update-count
+    threshold so flagship shapes compile through the remote XLA helper)
+    must produce bit-identical gradients to the one-shot flat scatters."""
+    import jax
+    import jax.numpy as jnp
+
+    from yanerf_tpu.models import hash_grid as hg
+
+    rng = np.random.RandomState(0)
+    n_rows, n_feats, n_updates = 64, 2, 5000  # not a multiple of the chunk
+    table = jnp.asarray(rng.randn(n_rows, n_feats).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n_rows, size=(n_updates,)), jnp.int32)
+    ct_seed = jnp.asarray(rng.randn(n_updates, n_feats).astype(np.float32))
+
+    def loss(t):
+        return jnp.sum(hg.table_lookup(t, idx) * ct_seed)
+
+    monkeypatch.setattr(hg, "_BWD_SCAN_THRESHOLD", 1 << 30)
+    monkeypatch.setattr(hg, "_BWD_SCAN_CHUNK", 1 << 30)
+    flat_grad = jax.grad(loss)(table)
+
+    monkeypatch.setattr(hg, "_BWD_SCAN_THRESHOLD", 0)
+    monkeypatch.setattr(hg, "_BWD_SCAN_CHUNK", 512)
+    scan_grad = jax.grad(loss)(table)
+
+    np.testing.assert_array_equal(np.asarray(scan_grad), np.asarray(flat_grad))
+
+    # and both match plain autodiff of the underlying take
+    auto_grad = jax.grad(lambda t: jnp.sum(jnp.take(t, idx, axis=0) * ct_seed))(table)
+    np.testing.assert_allclose(np.asarray(flat_grad), np.asarray(auto_grad), rtol=1e-6, atol=1e-6)

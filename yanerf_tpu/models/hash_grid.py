@@ -28,6 +28,7 @@ price of the asymptotic win. Tables are f32 (tiny); the MLPs honor
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -61,14 +62,48 @@ def _table_lookup_fwd(table, flat_idx):
     return table_lookup(table, flat_idx), (flat_idx, table)
 
 
+# Above this many updates the backward switches from the one-shot flat
+# scatters to a lax.scan over fixed-size scatter chunks. The one-shot
+# lowering's size grows with the update count and crashes this
+# environment's remote XLA compile helper at flagship shapes (apparent
+# compiler OOM, docs/performance.md "Hash-grid encodings on TPU"); the scan
+# body compiles ONCE at (_BWD_SCAN_CHUNK,) regardless of how many updates
+# stream through it, so compile cost is shape-independent. Override via
+# YANERF_HASHGRID_BWD_SCAN_THRESHOLD (0 = always scan).
+_BWD_SCAN_CHUNK = 1 << 15
+_BWD_SCAN_THRESHOLD = int(os.environ.get("YANERF_HASHGRID_BWD_SCAN_THRESHOLD", str(1 << 18)))
+
+
 def _table_lookup_bwd(res, ct):
     flat_idx, table = res
     n_rows, n_feats = table.shape
-    ct = ct.astype(jnp.float32)
-    grad = jnp.stack(
-        [jnp.zeros((n_rows,), jnp.float32).at[flat_idx].add(ct[:, f]) for f in range(n_feats)],
-        axis=-1,
-    )
+    ct = ct.astype(jnp.float32).reshape(-1, n_feats)
+    idx = flat_idx.reshape(-1)
+    n = idx.shape[0]
+    if n <= max(_BWD_SCAN_THRESHOLD, _BWD_SCAN_CHUNK):
+        # F independent FLAT scatter-adds into (T,) — measured ~6x faster
+        # than one row scatter-add into (T, F) (12.6M updates, v5e)
+        grad = jnp.stack(
+            [jnp.zeros((n_rows,), jnp.float32).at[idx].add(ct[:, f]) for f in range(n_feats)],
+            axis=-1,
+        )
+        return grad.astype(table.dtype), None
+    n_chunks = -(-n // _BWD_SCAN_CHUNK)
+    pad = n_chunks * _BWD_SCAN_CHUNK - n
+    # padding rows carry zero cotangent: they scatter-add nothing (row 0
+    # receives +0.0), so the gradient is exact
+    idx_p = jnp.pad(idx, (0, pad)).reshape(n_chunks, _BWD_SCAN_CHUNK)
+    ct_p = jnp.pad(ct, ((0, pad), (0, 0))).reshape(n_chunks, _BWD_SCAN_CHUNK, n_feats)
+
+    def body(acc, xs):
+        i, c = xs
+        # keep the fast flat formulation inside the scan body too
+        acc = tuple(a.at[i].add(c[:, f]) for f, a in enumerate(acc))
+        return acc, None
+
+    acc0 = tuple(jnp.zeros((n_rows,), jnp.float32) for _ in range(n_feats))
+    acc, _ = jax.lax.scan(body, acc0, (idx_p, ct_p))
+    grad = jnp.stack(acc, axis=-1)
     return grad.astype(table.dtype), None
 
 
