@@ -135,3 +135,25 @@ def test_fused_backward_padding_does_not_leak():
     g16 = nerf_mlp_backward_pallas(model, params, points, directions, gd, gc, tile=16, interpret=True)
     for a, b in zip(jax.tree_util.tree_leaves(g8), jax.tree_util.tree_leaves(g16)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_pallas_pipelined_kernel_bitwise_matches_plain():
+    """The software-pipelined variant (VPU embedding of tile i overlapped
+    against the MXU chain of tile i-1, double-buffered scratch) must be a
+    pure scheduling change: outputs bit-identical to the plain fused kernel
+    at every tile boundary case (exact multiple, padding, single tile)."""
+    import numpy as np
+
+    from yanerf_tpu.ops.pallas.nerf_mlp_kernel import nerf_mlp_forward_pallas as fwd
+
+    cfg = Config.fromfile(osp.join(CFG_DIR, "models/nerf_mlp.yml"))
+    model = MODELS.build(cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    for n_rays, n_pts, tile in ((16, 16, 64), (10, 7, 32), (2, 3, 128)):
+        pts = jnp.asarray(rng.randn(1, n_rays, n_pts, 3).astype(np.float32))
+        dirs = jnp.asarray(rng.randn(1, n_rays, 3).astype(np.float32))
+        d0, c0 = fwd(model, params, pts, dirs, tile=tile, interpret=True)
+        d1, c1 = fwd(model, params, pts, dirs, tile=tile, interpret=True, pipelined=True)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d0))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))

@@ -240,6 +240,126 @@ def _nerf_mlp_kernel(
     out_ref[:] = jnp.concatenate([density, color], axis=-1)
 
 
+def _mlp_chain_from_embeds(
+    embeds,
+    dir_embeds,
+    weight_refs,
+    *,
+    n_layers: int,
+    input_skips: Tuple[int, ...],
+    n_extra_color: int,
+    compute_dtype,
+):
+    """The MXU phase: xyz encoder + heads from precomputed embeddings."""
+
+    def take_pair(i):
+        return weight_refs[2 * i], weight_refs[2 * i + 1]
+
+    def matmul(x, w_ref, b_ref):
+        return (
+            jnp.dot(x, w_ref[:].astype(compute_dtype), preferred_element_type=jnp.float32)
+            + b_ref[:].astype(jnp.float32)
+        )
+
+    y = embeds
+    idx = 0
+    for li in range(n_layers):
+        w_ref, b_ref = take_pair(idx)
+        idx += 1
+        if li in input_skips and li > 0:
+            h = y.shape[-1]
+            acc = jnp.dot(y, w_ref[:h].astype(compute_dtype), preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(embeds, w_ref[h:].astype(compute_dtype), preferred_element_type=jnp.float32)
+            y = jax.nn.relu(acc + b_ref[:].astype(jnp.float32)).astype(compute_dtype)
+        else:
+            y = jax.nn.relu(matmul(y, w_ref, b_ref)).astype(compute_dtype)
+
+    features = y
+    w_int, b_int = take_pair(idx); idx += 1
+    w_den, b_den = take_pair(idx); idx += 1
+    density = matmul(features, w_den, b_den)
+    inter = matmul(features, w_int, b_int).astype(compute_dtype)
+
+    w_c0, b_c0 = take_pair(idx); idx += 1
+    h = inter.shape[-1]
+    color = jnp.dot(inter, w_c0[:h].astype(compute_dtype), preferred_element_type=jnp.float32)
+    color = color + jnp.dot(dir_embeds, w_c0[h:].astype(compute_dtype), preferred_element_type=jnp.float32)
+    color = jax.nn.relu(color + b_c0[:].astype(jnp.float32)).astype(compute_dtype)
+    for _ in range(n_extra_color):
+        w_ce, b_ce = take_pair(idx); idx += 1
+        color = jax.nn.relu(matmul(color, w_ce, b_ce)).astype(compute_dtype)
+    w_cl, b_cl = take_pair(idx); idx += 1
+    color = jax.nn.sigmoid(matmul(color, w_cl, b_cl))
+    return jnp.concatenate([density, color], axis=-1)
+
+
+def _nerf_mlp_kernel_pipelined(
+    points_ref,
+    dirs_ref,
+    proj_xyz_ref,
+    phase_xyz_ref,
+    mtrig_xyz_ref,
+    mid_xyz_ref,
+    proj_dir_ref,
+    phase_dir_ref,
+    mtrig_dir_ref,
+    mid_dir_ref,
+    *refs,
+    n_layers: int,
+    input_skips: Tuple[int, ...],
+    n_extra_color: int,
+    compute_dtype,
+):
+    """Software-pipelined fused forward (ROADMAP r3 item 4).
+
+    The round-2/3 traces localize the Pallas-vs-XLA gap to VPU phases
+    (embedding transcendentals, relu/cast, sigmoid) serializing against the
+    MXU matmul chain inside each grid step. This variant runs a two-stage
+    software pipeline over a ``G+1``-step grid with double-buffered
+    embedding scratch:
+
+        step i, stage A (VPU): harmonic-embed tile ``i``   -> slot ``i % 2``
+        step i, stage B (MXU): matmul chain on tile ``i-1``  from slot
+                               ``(i-1) % 2`` -> output block ``i-1``
+
+    The two stages touch disjoint scratch slots, so Mosaic's scheduler is
+    free to interleave stage A's VPU work with stage B's MXU work within
+    the same grid step — the manual analog of XLA's cross-kernel overlap.
+    """
+    # refs = weights..., out_ref, emb_x_buf, emb_d_buf (scratch last)
+    out_ref = refs[-3]
+    emb_x_buf = refs[-2]
+    emb_d_buf = refs[-1]
+    weight_refs = refs[:-3]
+
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(i < n_steps - 1)
+    def _stage_a():
+        points = points_ref[:]
+        emb_x_buf[i % 2] = _embed_padded(
+            points, proj_xyz_ref, phase_xyz_ref, mtrig_xyz_ref, mid_xyz_ref
+        ).astype(compute_dtype)
+        dirs = dirs_ref[:]
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-24))
+        emb_d_buf[i % 2] = _embed_padded(
+            dirs / norm, proj_dir_ref, phase_dir_ref, mtrig_dir_ref, mid_dir_ref
+        ).astype(compute_dtype)
+
+    @pl.when(i >= 1)
+    def _stage_b():
+        out_ref[:] = _mlp_chain_from_embeds(
+            emb_x_buf[(i - 1) % 2],
+            emb_d_buf[(i - 1) % 2],
+            weight_refs,
+            n_layers=n_layers,
+            input_skips=input_skips,
+            n_extra_color=n_extra_color,
+            compute_dtype=compute_dtype,
+        )
+
+
 def _default_interpret() -> bool:
     # run the kernel in interpreter mode off-TPU (CPU tests / debugging)
     return jax.default_backend() not in ("tpu", "axon")
@@ -264,6 +384,7 @@ def nerf_mlp_forward_pallas(
     tile: int = DEFAULT_TILE,
     interpret: bool = None,
     vmem_limit_bytes: int = 100 * 1024 * 1024,
+    pipelined: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused forward over arbitrary-shaped ray points.
 
@@ -272,6 +393,9 @@ def nerf_mlp_forward_pallas(
         params: its param pytree.
         points: ``(..., P, 3)`` world-space ray points.
         directions: ``(..., 3)`` per-ray directions (unnormalized).
+        pipelined: use the two-stage software pipeline (VPU embedding of
+            tile i overlapped against the MXU chain of tile i-1; see
+            ``_nerf_mlp_kernel_pipelined``).
 
     Returns:
         ``(densities (..., P, 1), colors (..., P, color_dim))``.
@@ -298,19 +422,32 @@ def nerf_mlp_forward_pallas(
     embed_consts = embedding_inputs(model)
 
     kernel = functools.partial(
-        _nerf_mlp_kernel,
+        _nerf_mlp_kernel_pipelined if pipelined else _nerf_mlp_kernel,
         n_layers=model.n_layers,
         input_skips=tuple(model.input_skips),
         n_extra_color=model.n_extra_color_layers,
         compute_dtype=compute_dtype,
     )
 
-    grid = (n_padded // tile,)
+    n_tiles = n_padded // tile
+    # the pipeline needs one drain step: stage B of step G writes tile G-1
+    grid = (n_tiles + 1,) if pipelined else (n_tiles,)
     out_dim = 1 + model.color_dim
 
+    if pipelined:
+        # stage A consumes tile i at step i (clamped on the drain step where
+        # it is skipped); stage B emits tile i-1 at step i (block 0 is
+        # touched but unwritten at step 0, then rewritten at step 1 before
+        # its index changes — harmless)
+        in_idx = lambda i: (jnp.minimum(i, n_tiles - 1), 0)  # noqa: E731
+        out_idx = lambda i: (jnp.maximum(i - 1, 0), 0)  # noqa: E731
+    else:
+        in_idx = lambda i: (i, 0)  # noqa: E731
+        out_idx = lambda i: (i, 0)  # noqa: E731
+
     in_specs = [
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),  # points
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),  # dirs
+        pl.BlockSpec((tile, 3), in_idx, memory_space=pltpu.VMEM),  # points
+        pl.BlockSpec((tile, 3), in_idx, memory_space=pltpu.VMEM),  # dirs
     ]
     for c in embed_consts:
         in_specs.append(pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
@@ -319,6 +456,15 @@ def nerf_mlp_forward_pallas(
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i, _nd=w.ndim: tuple([0] * _nd), memory_space=pltpu.VMEM)
         )
+
+    scratch_shapes = ()
+    if pipelined:
+        k_xyz = _round_up(model.embedding_dim_xyz, LANES)
+        k_dir = _round_up(model.embedding_dim_dir, LANES)
+        scratch_shapes = [
+            pltpu.VMEM((2, tile, k_xyz), compute_dtype),
+            pltpu.VMEM((2, tile, k_dir), compute_dtype),
+        ]
 
     flops_per_pt = 2 * (
         model.input_dim * model.n_hidden_neurons_xyz
@@ -334,7 +480,8 @@ def nerf_mlp_forward_pallas(
         out_shape=jax.ShapeDtypeStruct((n_padded, out_dim), jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, out_dim), out_idx, memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * n_padded,
             bytes_accessed=n_padded * (3 + 3 + out_dim) * 4,
