@@ -281,19 +281,59 @@ def main():
 
     budget_s = float(os.environ.get("YANERF_BENCH_BUDGET_S", "1320"))
 
-    import jax
+    # Backend init is fenced too: with the axon tunnel relay dead, a bare
+    # jax.devices() retries discovery forever (observed: one init warning
+    # every ~25 min, zero output) and the driver's timeout would record
+    # parsed=null. Better to die fast and loud.
+    init_box: dict = {}
 
-    from yanerf_tpu.utils.cache import enable_compilation_cache
+    def _init_backend():
+        import jax
 
-    enable_compilation_cache()
+        from yanerf_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        init_box["n_chips"] = jax.local_device_count()
+        init_box["platform"] = jax.devices()[0].platform
+
+    # SIGALRM only surfaces once bytecode runs again; if discovery blocks in
+    # a single long native call, a daemon watchdog hard-exits instead.
+    import os as _os
+    import threading
+
+    def _watchdog():
+        if "n_chips" not in init_box:
+            _progress("backend_init watchdog fired — hard exit")
+            _os._exit(1)
+
+    _wd = threading.Timer(min(330.0, budget_s / 2 + 30.0), _watchdog)
+    _wd.daemon = True  # must not keep a finished bench alive
+    _wd.start()
+
+    # Global backstop: phases are SIGALRM-fenced, but an alarm cannot
+    # interrupt one long native call (measured: a dead-tunnel device fetch
+    # sleeps ~25 min per retry). Past budget+grace, hard-exit — stdout
+    # already holds a complete JSON line per finished phase.
+    def _global_watchdog():
+        _progress("global budget watchdog fired — hard exit (JSON so far stands)")
+        _os._exit(2)
+
+    _gwd = threading.Timer(budget_s + 90.0, _global_watchdog)
+    _gwd.daemon = True
+    _gwd.start()
+    if not _run_phase("backend_init", _init_backend, min(300.0, budget_s / 2)):
+        _progress("device backend unreachable (tunnel down?) — aborting with no JSON")
+        sys.exit(1)
+
+    import jax  # noqa: F401  (already initialized above)
 
     from __graft_entry__ import _example_batch, _flagship_pipeline
     from yanerf_tpu.runners import prepare_batch
 
     N_RAYS = 4096
     IMAGE_HW = 800
-    n_chips = jax.local_device_count()
-    _progress(f"devices: {n_chips} ({jax.devices()[0].platform}); budget {budget_s:.0f}s")
+    n_chips = init_box["n_chips"]
+    _progress(f"devices: {n_chips} ({init_box['platform']}); budget {budget_s:.0f}s")
     batch = prepare_batch(_example_batch(1, IMAGE_HW), Wrapper, None)
     results: dict = {}
 
