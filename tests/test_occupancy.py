@@ -1,0 +1,171 @@
+"""Occupancy-grid empty-space skipping (ops/occupancy.py + sampler wiring).
+
+The reference has no empty-space skipping (its eval samples the full
+[min_depth, max_depth] chord; ray_samplers/ray_sampler.py:389-401); these
+tests pin down the TPU-native static-shape formulation: conservative
+per-ray bounds, exact-identity behavior for a fully occupied grid, and the
+eval-only sampler opt-in.
+"""
+
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yanerf_tpu.ops.occupancy import (
+    OccupancyGrid,
+    build_occupancy_grid,
+    load_occupancy,
+    occupancy_ray_bounds,
+    query_occupancy,
+    save_occupancy,
+)
+from yanerf_tpu.ops.structures import EvaluationMode
+from yanerf_tpu.pipelines import RAY_SAMPLERS
+from yanerf_tpu.utils import Config
+
+CFG_DIR = osp.join(osp.dirname(__file__), "configs")
+
+
+def _cams(batch=2):
+    poses = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4))
+    focals = jnp.full((batch, 1), 5.0)
+    return poses, focals
+
+
+def test_query_occupancy_inside_outside():
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[4, 4, 4] = 1
+    aabb = np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    # lattice point (4,4,4) sits at world 2*(4/7)-1 = 1/7
+    c = 2.0 * 4.0 / 7.0 - 1.0
+    pts = jnp.asarray(
+        [
+            [c, c, c],  # exactly the occupied lattice point
+            [0.9, 0.9, 0.9],  # inside the box, empty voxel
+            [1.5, 0.0, 0.0],  # outside the box entirely
+        ]
+    )
+    hit = np.asarray(query_occupancy(jnp.asarray(grid), jnp.asarray(aabb), pts))
+    assert hit.tolist() == [True, False, False]
+
+
+def test_occupancy_ray_bounds_brackets_content():
+    # occupy a slab z in ~[0.2, 0.5] of a [-1, 1]^3 grid
+    res = 32
+    axis = np.linspace(-1.0, 1.0, res)
+    zz = np.broadcast_to(axis, (res, res, res))
+    grid = ((zz >= 0.2) & (zz <= 0.5)).astype(np.uint8)
+    occ = OccupancyGrid(grid=grid, aabb=np.asarray([[-1.0] * 3, [1.0] * 3], np.float32))
+
+    # a ray straight down +z through the slab, and one that misses the box
+    origins = jnp.asarray([[0.0, 0.0, -3.0], [5.0, 5.0, -3.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    n_probe = 128
+    t0, t1 = occupancy_ray_bounds(origins, dirs, occ, 0.1, 10.0, n_probe=n_probe)
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    step = (10.0 - 0.1) / n_probe
+    # hitting ray: slab spans t in [3.2, 3.5]; bounds must cover it and hug
+    # it to within a probe spacing + the grid's voxel rounding
+    vox = 2.0 / (res - 1)
+    assert t0[0] <= 3.2 + 1e-5 and t1[0] >= 3.5 - 1e-5
+    assert t0[0] >= 3.2 - step - vox - 1e-5
+    assert t1[0] <= 3.5 + step + vox + 1e-5
+    # missing ray collapses to the far plane (background semantics)
+    assert t0[1] == pytest.approx(10.0) and t1[1] == pytest.approx(10.0)
+
+
+def test_full_occupancy_is_identity_bounds():
+    occ = OccupancyGrid(
+        grid=np.ones((16, 16, 16), np.uint8),
+        aabb=np.asarray([[-100.0] * 3, [100.0] * 3], np.float32),
+    )
+    origins = jnp.asarray([[0.3, -0.2, 0.0]])
+    dirs = jnp.asarray([[0.1, 0.2, 1.0]])
+    t0, t1 = occupancy_ray_bounds(origins, dirs, occ, 0.5, 7.5, n_probe=32)
+    # first probe center - step clips back to lo; last + step clips to hi
+    assert float(t0[0]) == pytest.approx(0.5, abs=1e-6)
+    assert float(t1[0]) == pytest.approx(7.5, abs=1e-6)
+
+
+def test_build_dilate_and_roundtrip(tmp_path):
+    density = np.zeros((16, 16, 16), np.float32)
+    density[8, 8, 8] = 10.0
+    occ0 = build_occupancy_grid(density, (-1.0, 1.0), threshold=5.0, dilate=0)
+    occ1 = build_occupancy_grid(density, (-1.0, 1.0), threshold=5.0, dilate=1)
+    assert occ0.grid.sum() == 1
+    # one round of 6-neighbour dilation: center + 6 face neighbours
+    assert occ1.grid.sum() == 7
+    assert occ1.grid[8, 8, 8] == 1 and occ1.grid[7, 8, 8] == 1 and occ1.grid[8, 8, 9] == 1
+
+    path = str(tmp_path / "occ.npz")
+    save_occupancy(path, occ1, threshold=5.0)
+    loaded = load_occupancy(path)
+    np.testing.assert_array_equal(loaded.grid, occ1.grid)
+    np.testing.assert_allclose(loaded.aabb, occ1.aabb)
+
+
+def test_sampler_occupancy_tightens_eval_lengths_only(tmp_path):
+    # content: a small box around (0, 0, 2.5) — identity cameras look +z
+    density = np.zeros((32, 32, 32), np.float32)
+    density[14:18, 14:18, 26:29] = 10.0  # z lattice 26..28 -> world z in [2.71, 3.23]
+    occ = build_occupancy_grid(density, (-4.0, 4.0), threshold=5.0, dilate=1)
+    path = str(tmp_path / "occ.npz")
+    save_occupancy(path, occ, threshold=5.0)
+
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    cfg.ray_sampler.occupancy_grid = path
+    cfg.ray_sampler.n_pts_per_ray_evaluation = 16
+    cfg.ray_sampler.n_pts_per_ray_training = 16
+    sampler = RAY_SAMPLERS.build(cfg.ray_sampler)
+    poses, focals = _cams()
+
+    bundle = sampler(None, poses, focals, EvaluationMode.EVALUATION, min_depth=0.1, max_depth=10.0)
+    lengths = np.asarray(bundle.lengths)
+    # center pixels hit the content; their sample span must hug the content
+    # chord [2.71, 3.23] +- one dilated voxel (0.26) + probe spacing
+    # ((10-0.1)/64 ~ 0.155) + nearest-voxel rounding (0.13)
+    hit = lengths[..., -1] < 9.0  # rays not collapsed to the far plane
+    assert hit.any()
+    assert lengths[hit].min() >= 2.0 and lengths[hit].max() <= 4.0
+    assert np.allclose(lengths[~hit], 10.0)
+
+    # training lengths are untouched (occupancy_eval_only defaults True)
+    tb = sampler(jax.random.PRNGKey(0), poses, focals, EvaluationMode.TRAINING,
+                 min_depth=0.1, max_depth=10.0)
+    tl = np.asarray(tb.lengths)
+    assert tl.min() < 1.0 and tl.max() > 9.0  # spans the full chord
+
+
+def test_sampler_occupancy_full_grid_is_bit_exact_noop(tmp_path):
+    # an all-occupied grid must leave eval lengths exactly unchanged
+    occ = OccupancyGrid(
+        grid=np.ones((8, 8, 8), np.uint8),
+        aabb=np.asarray([[-50.0] * 3, [50.0] * 3], np.float32),
+    )
+    path = str(tmp_path / "occ_full.npz")
+    save_occupancy(path, occ, threshold=1.0)
+
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    base = RAY_SAMPLERS.build(cfg.ray_sampler)
+    cfg.ray_sampler.occupancy_grid = path
+    with_occ = RAY_SAMPLERS.build(cfg.ray_sampler)
+    poses, focals = _cams()
+    b0 = base(None, poses, focals, EvaluationMode.EVALUATION)
+    b1 = with_occ(None, poses, focals, EvaluationMode.EVALUATION)
+    np.testing.assert_array_equal(np.asarray(b0.lengths), np.asarray(b1.lengths))
+
+
+def test_sampler_occupancy_ndc_validation(tmp_path):
+    occ = OccupancyGrid(
+        grid=np.ones((4, 4, 4), np.uint8), aabb=np.asarray([[-1.0] * 3, [1.0] * 3], np.float32)
+    )
+    path = str(tmp_path / "occ.npz")
+    save_occupancy(path, occ, threshold=1.0)
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    cfg.ray_sampler.occupancy_grid = path
+    cfg.ray_sampler.use_ndc = True
+    with pytest.raises(ValueError, match="NDC"):
+        RAY_SAMPLERS.build(cfg.ray_sampler)

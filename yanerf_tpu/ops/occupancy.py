@@ -1,0 +1,196 @@
+"""Occupancy-grid empty-space skipping for evaluation rendering.
+
+The CUDA-native version of this idea (NerfAcc / Instant-NGP) maintains a
+binary voxel grid and *compacts* samples to skip empty space — dynamic
+shapes, scatter/gather heavy, wrong for XLA. The TPU-native formulation
+keeps every shape static: a post-training occupancy grid tightens each
+ray's depth interval to the first/last occupied voxel along the ray, so
+the SAME fixed per-ray sample budget concentrates where the scene content
+actually is. Fewer points then buy the same quality (the fps lever), or
+the same points buy more quality.
+
+This generalizes the scene-AABB slab tightening (ops/rays.py::
+ray_aabb_bounds, one box for the whole scene) to per-ray bounds that hug
+the content: a ray grazing the corner of the scene box but missing the
+object collapses to (near) background, and a ray hitting a thin structure
+gets an interval a few voxels wide instead of the whole box chord.
+
+The reference framework has no empty-space skipping (its eval samples the
+full [min_depth, max_depth] chord on every ray; ray_sampler.py:389-401);
+this is an eval-only opt-in on top of its semantics.
+
+Pipeline:
+  1. train a model;
+  2. ``scripts/fit_occupancy.py`` evaluates its density on a lattice
+     (ops/mesh.py::evaluate_density_grid), thresholds + dilates it into a
+     binary grid, and saves ``{occupancy, aabb, threshold}`` to ``.npz``;
+  3. configs opt in via ``ray_sampler: {occupancy_grid: <path.npz>}`` —
+     the sampler captures the grid as a compile-time constant (like
+     ``scene_aabb``) and tightens eval bounds with
+     :func:`occupancy_ray_bounds`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class OccupancyGrid(NamedTuple):
+    """A binary occupancy lattice over a world-space box.
+
+    Attributes:
+        grid: ``(Rx, Ry, Rz) uint8`` — nonzero where the (dilated) density
+            exceeded the build threshold; index order [ix, iy, iz] with
+            index 0 at ``aabb[0]`` (cell-centered voxels).
+        aabb: ``(2, 3) float32`` world-space box the grid spans.
+    """
+
+    grid: Union[np.ndarray, jax.Array]
+    aabb: Union[np.ndarray, jax.Array]
+
+
+def build_occupancy_grid(
+    density_grid: np.ndarray,
+    bounds: Tuple[float, float],
+    threshold: float,
+    dilate: int = 1,
+) -> OccupancyGrid:
+    """Threshold + dilate an evaluated density lattice into a binary grid.
+
+    Args:
+        density_grid: ``(R, R, R)`` activated densities from
+            ``evaluate_density_grid`` (lattice POINTS spanning the bounds
+            cube inclusively).
+        bounds: the ``(lo, hi)`` cube the lattice was evaluated on.
+        threshold: density cutoff (sigma units; see ``fit_scene_aabb``'s
+            threshold docs — s below ~1 is visually empty at typical deltas).
+        dilate: binary max-pool radius in voxels. One voxel of dilation
+            covers density that peaks between lattice points and keeps the
+            probe-spacing error of :func:`occupancy_ray_bounds` conservative.
+
+    Returns:
+        An :class:`OccupancyGrid` (numpy; callers move it to device).
+    """
+    occ = density_grid > float(threshold)
+    for _ in range(int(dilate)):
+        grown = occ.copy()
+        for ax in range(3):
+            grown[tuple(slice(None, -1) if i == ax else slice(None) for i in range(3))] |= occ[
+                tuple(slice(1, None) if i == ax else slice(None) for i in range(3))
+            ]
+            grown[tuple(slice(1, None) if i == ax else slice(None) for i in range(3))] |= occ[
+                tuple(slice(None, -1) if i == ax else slice(None) for i in range(3))
+            ]
+        occ = grown
+    lo, hi = float(bounds[0]), float(bounds[1])
+    aabb = np.asarray([[lo, lo, lo], [hi, hi, hi]], np.float32)
+    return OccupancyGrid(grid=occ.astype(np.uint8), aabb=aabb)
+
+
+def occupancy_fraction(occ: OccupancyGrid) -> float:
+    """Fraction of voxels occupied — the headroom estimate for skipping."""
+    return float(np.asarray(occ.grid, np.float32).mean())
+
+
+def query_occupancy(occ_grid: jax.Array, aabb: jax.Array, points: jax.Array) -> jax.Array:
+    """Nearest-voxel occupancy lookup; points outside the box are empty.
+
+    Args:
+        occ_grid: ``(Rx, Ry, Rz)`` uint8/bool-like.
+        aabb: ``(2, 3)``.
+        points: ``(..., 3)`` world-space.
+
+    Returns:
+        ``(...,)`` bool.
+    """
+    dtype = points.dtype
+    aabb = jnp.asarray(aabb, dtype).reshape(2, 3)
+    res = jnp.asarray(occ_grid.shape, jnp.int32)
+    # lattice points span the box inclusively -> nearest lattice index
+    unit = (points - aabb[0]) / (aabb[1] - aabb[0])
+    idx = jnp.round(unit * (res - 1).astype(dtype)).astype(jnp.int32)
+    inside = jnp.all((unit >= 0.0) & (unit <= 1.0), axis=-1)
+    idx = jnp.clip(idx, 0, res - 1)
+    flat = (idx[..., 0] * occ_grid.shape[1] + idx[..., 1]) * occ_grid.shape[2] + idx[..., 2]
+    vals = jnp.take(jnp.asarray(occ_grid).reshape(-1), flat, axis=0)
+    # compare in integer space — bf16/bool select quirks on the Mosaic
+    # helper never arise here (plain XLA), but keep the comparison exact
+    return (vals > 0) & inside
+
+
+def occupancy_ray_bounds(
+    origins: jax.Array,
+    directions: jax.Array,
+    occ: OccupancyGrid,
+    t_lo: jax.Array,
+    t_hi: jax.Array,
+    n_probe: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Tighten per-ray depth bounds to the occupied span along each ray.
+
+    Marches ``n_probe`` cell-centered probe depths across ``[t_lo, t_hi]``
+    per ray (same ``t`` parameterization as the bundle's ``lengths``),
+    looks each up in the occupancy grid, and returns the interval from the
+    first to the last occupied probe, expanded by one probe spacing on each
+    side (so content between probes stays covered — pair with one voxel of
+    build-time dilation). Rays with no occupied probe collapse to
+    ``[t_hi, t_hi]``: every sample lands at the far plane and the
+    raymarcher composites pure background, exactly the slab-miss semantics
+    of ``ray_aabb_bounds``.
+
+    Fully dense and branch-free: one ``(..., n_probe)`` gather + reductions,
+    no MLP evaluation — orders of magnitude cheaper than the samples it
+    saves. Peak transient is the ``(..., n_probe)`` probe lattice; at
+    800x800 eval with the default 64 probes that is ~160 MB of f32, well
+    inside HBM next to the bundle's own ``lengths``.
+
+    Args:
+        origins/directions: ``(..., 3)`` (directions unnormalized, as in
+            ``xy_to_ray_bundle``).
+        occ: the grid (captured as a compile-time constant by the sampler).
+        t_lo/t_hi: scalar or ``(...,)`` outer bounds (e.g. the slab-test
+            output); the result is always inside them.
+        n_probe: probes per ray. Coverage rule of thumb: with a grid of
+            resolution R spanning the scene box and probes spanning a chord
+            of it, ``n_probe >= R`` cannot skip an occupied+dilated voxel.
+
+    Returns:
+        ``(t_near, t_far)`` each shaped ``(...,)``.
+    """
+    dtype = origins.dtype
+    lo = jnp.broadcast_to(jnp.asarray(t_lo, dtype), origins.shape[:-1])
+    hi = jnp.broadcast_to(jnp.asarray(t_hi, dtype), origins.shape[:-1])
+    span = hi - lo
+    step = span / float(n_probe)
+    k = (jnp.arange(n_probe, dtype=dtype) + 0.5) / float(n_probe)  # cell centers
+    t = lo[..., None] + span[..., None] * k  # (..., n_probe)
+    pts = origins[..., None, :] + t[..., :, None] * directions[..., None, :]
+    hit = query_occupancy(occ.grid, occ.aabb, pts)  # (..., n_probe)
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    t_first = jnp.min(jnp.where(hit, t, big), axis=-1)
+    t_last = jnp.max(jnp.where(hit, t, -big), axis=-1)
+    t_near = jnp.clip(t_first - step, lo, hi)
+    t_far = jnp.clip(t_last + step, lo, hi)
+    miss = ~jnp.any(hit, axis=-1)
+    t_near = jnp.where(miss, hi, t_near)
+    t_far = jnp.where(miss, hi, t_far)
+    return t_near, t_far
+
+
+def save_occupancy(path: str, occ: OccupancyGrid, threshold: float) -> None:
+    np.savez_compressed(
+        path,
+        occupancy=np.asarray(occ.grid, np.uint8),
+        aabb=np.asarray(occ.aabb, np.float32),
+        threshold=np.float32(threshold),
+    )
+
+
+def load_occupancy(path: str) -> OccupancyGrid:
+    with np.load(path) as z:
+        return OccupancyGrid(grid=z["occupancy"].astype(np.uint8), aabb=z["aabb"].astype(np.float32))

@@ -120,6 +120,8 @@ def xy_to_ray_bundle(
     rng: Optional[jax.Array] = None,
     sample_in_disparity: bool = False,
     scene_aabb: Optional[jax.Array] = None,
+    occupancy=None,
+    occupancy_n_probe: int = 64,
 ) -> RayBundle:
     """Unproject pixel coordinates into world-space rays with depth samples.
 
@@ -146,6 +148,12 @@ def xy_to_ray_bundle(
             fixed sample budget concentrates where the scene actually is,
             and rays that miss the box collapse to the far plane
             (= background). Static shapes throughout.
+        occupancy: optional ``ops.occupancy.OccupancyGrid``. When given,
+            each ray's depth interval is further tightened to the occupied
+            span along the ray (``occupancy_ray_bounds``) — empty-space
+            skipping with static shapes. Applied inside the ``scene_aabb``
+            bounds when both are set.
+        occupancy_n_probe: probes per ray for the occupancy march.
 
     Returns:
         A :class:`RayBundle` with origins/directions ``(B, *spatial, 3)``,
@@ -181,6 +189,12 @@ def xy_to_ray_bundle(
             lo, hi = ray_aabb_bounds(origins, directions, scene_aabb, min_d, max_d)
         else:
             lo, hi = min_d, max_d
+        if occupancy is not None:
+            from .occupancy import occupancy_ray_bounds
+
+            lo, hi = occupancy_ray_bounds(
+                origins, directions, occupancy, lo, hi, n_probe=occupancy_n_probe
+            )
         t = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype)
         if sample_in_disparity:
             # disparity spacing divides by the bounds; a non-positive near

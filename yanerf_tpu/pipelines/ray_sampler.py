@@ -53,6 +53,8 @@ class _RaySampler:
         pixel_replacement: bool = False,
         sample_in_disparity: bool = False,
         scene_aabb=None,
+        occupancy=None,
+        occupancy_n_probe: int = 64,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -65,6 +67,8 @@ class _RaySampler:
         self.pixel_replacement = pixel_replacement
         self.sample_in_disparity = sample_in_disparity
         self.scene_aabb = scene_aabb
+        self.occupancy = occupancy
+        self.occupancy_n_probe = occupancy_n_probe
 
     def __call__(
         self,
@@ -177,6 +181,8 @@ class _RaySampler:
             rng=rng,
             sample_in_disparity=self.sample_in_disparity,
             scene_aabb=self.scene_aabb,
+            occupancy=self.occupancy,
+            occupancy_n_probe=self.occupancy_n_probe,
         )
 
 
@@ -204,6 +210,9 @@ class RaySampler:
         sample_in_disparity: bool = False,
         scene_aabb: Optional[List[float]] = None,
         scene_aabb_eval_only: bool = False,
+        occupancy_grid: Optional[str] = None,
+        occupancy_n_probe: int = 64,
+        occupancy_eval_only: bool = True,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -230,6 +239,24 @@ class RaySampler:
         # the 16-16-8 budget, free at full budget) without altering the
         # training recipe its quality numbers were measured under
         self.scene_aabb_eval_only = bool(scene_aabb_eval_only)
+        # Optional occupancy-grid empty-space skipping (ops/occupancy.py):
+        # a .npz produced by scripts/fit_occupancy.py from a trained
+        # checkpoint. Captured as a compile-time constant, like scene_aabb.
+        # Eval-only by default: the grid is only valid for the density
+        # field it was fitted to, so a training run that moves the density
+        # would invalidate it (and the measured quality recipes train
+        # without it).
+        self.occupancy = None
+        if occupancy_grid is not None:
+            if use_ndc:
+                raise ValueError(
+                    "occupancy_grid cannot be combined with use_ndc (NDC depth is not metric)"
+                )
+            from yanerf_tpu.ops.occupancy import load_occupancy
+
+            self.occupancy = load_occupancy(occupancy_grid)
+        self.occupancy_n_probe = int(occupancy_n_probe)
+        self.occupancy_eval_only = bool(occupancy_eval_only)
         self._sampling_mode = {
             EvaluationMode.TRAINING: RenderSamplingMode(sampling_mode_training),
             EvaluationMode.EVALUATION: RenderSamplingMode(sampling_mode_evaluation),
@@ -257,6 +284,12 @@ class RaySampler:
                     if self.scene_aabb_eval_only and mode == EvaluationMode.TRAINING
                     else self.scene_aabb
                 ),
+                occupancy=(
+                    None
+                    if self.occupancy_eval_only and mode == EvaluationMode.TRAINING
+                    else self.occupancy
+                ),
+                occupancy_n_probe=self.occupancy_n_probe,
             )
             for mode, n_pts, stratified in (
                 (EvaluationMode.TRAINING, n_pts_per_ray_training, stratified_point_sampling_training),
