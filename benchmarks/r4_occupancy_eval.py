@@ -52,7 +52,7 @@ def read_record():
     return {"checkpoint": str(CKPT_RUN), "aabb": AABB, "runs": {}, "fps": {}}
 
 
-def fps_arm(budget, occupancy_path):
+def fps_arm(budget, occupancy_path, bf16_compositing=False):
     """Child mode: print one JSON line with pipelined render fps."""
     import numpy as np
 
@@ -68,6 +68,10 @@ def fps_arm(budget, occupancy_path):
     pipeline = _proposal_pipeline(
         eval_sampler_pts=p0, eval_intermediate=(p1,), eval_final=pf
     )
+    if bf16_compositing:
+        import jax.numpy as _jnp
+
+        pipeline.renderer.eval_compositing_dtype = _jnp.dtype("bfloat16")
     sampler = pipeline.ray_sampler
     for half in sampler._raysamplers.values():
         half.scene_aabb = np.asarray(AABB, np.float32).reshape(2, 3)
@@ -109,9 +113,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--fps_arm", default=None, help="internal: 'p0,p1,pf'")
     parser.add_argument("--occupancy", default="", help="internal: occupancy npz or ''")
+    parser.add_argument("--bf16_compositing", action="store_true")
     args = parser.parse_args()
     if args.fps_arm:
-        fps_arm(tuple(int(x) for x in args.fps_arm.split(",")), args.occupancy or None)
+        fps_arm(tuple(int(x) for x in args.fps_arm.split(",")), args.occupancy or None,
+                bf16_compositing=args.bf16_compositing)
         return
 
     WORK.mkdir(parents=True, exist_ok=True)
@@ -208,6 +214,61 @@ def main():
             record["fps"][key] = round(fps, 3) if fps else None
             OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
             log(f"DONE fps {key}: {fps}")
+
+    # 3b. bf16 eval-compositing experiment at full budget (VERDICT r3 #3
+    # "try bf16 eval compositing"): PSNR via --test_only + fps arm, vs the
+    # 64-64-32_aabb baseline measured above
+    key = "64-64-32_bf16comp"
+    if record["runs"].get(key, {}).get("test_psnr") is None:
+        out_dir = WORK / key
+        out_dir.mkdir(parents=True, exist_ok=True)
+        opts = [
+            "pipeline.ray_sampler.n_pts_per_ray_evaluation=64",
+            "pipeline.renderer.n_pts_per_ray_intermediate_evaluation=[64]",
+            "pipeline.renderer.n_pts_per_ray_final_evaluation=32",
+            "pipeline.ray_sampler.scene_aabb=" + json.dumps(AABB),
+            "pipeline.renderer.eval_compositing_dtype=bfloat16",
+        ]
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "run.py"),
+             "--config", str(CKPT_RUN / "config.yml"),
+             "--output_dir", str(out_dir),
+             "--checkpoint", str(CKPT_RUN / "ckpts" / "ckpts_-001"),
+             "--test_only", "--cfg_options", *opts],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        test_psnr = None
+        stats = sorted(out_dir.glob("version_*/test_stats.json")) + (
+            [out_dir / "test_stats.json"] if (out_dir / "test_stats.json").exists() else []
+        )
+        if proc.returncode == 0 and stats:
+            lines = [ln for ln in stats[-1].read_text().splitlines() if ln.strip()]
+            if lines:
+                test_psnr = json.loads(lines[-1]).get("test_loss_rgb_psnr")
+        record["runs"][key] = {
+            "budget": "64-64-32", "bf16_compositing": True,
+            "test_psnr": test_psnr, "wall_s": round(time.time() - t0, 1),
+            "returncode": proc.returncode,
+        }
+        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+        log(f"DONE {key}: psnr={test_psnr}")
+    if record["fps"].get(key) is None:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "benchmarks" / "r4_occupancy_eval.py"),
+             "--fps_arm", "64,64,32", "--occupancy", "", "--bf16_compositing"],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        fps = None
+        for ln in reversed(proc.stdout.splitlines()):
+            try:
+                fps = json.loads(ln)["fps"]
+                break
+            except Exception:
+                continue
+        record["fps"][key] = round(fps, 3) if fps else None
+        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+        log(f"DONE fps {key}: {fps}")
 
     # 4. summary frontier rows
     record["summary"] = {}

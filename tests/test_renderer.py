@@ -101,3 +101,50 @@ def test_refine_ray_points_sorted_and_in_range():
     assert z.shape == (1, 4, 1, 24)
     assert (np.diff(z, axis=-1) >= -1e-6).all()
     assert z.min() >= 1.0 - 1e-5 and z.max() <= 3.0 + 1e-5
+
+
+def test_eval_compositing_dtype_bf16_close_and_train_exact():
+    """eval_compositing_dtype casts only the EVAL compositing inputs: eval
+    outputs stay f32-typed and within bf16 tolerance of the f32 path;
+    TRAINING is bit-exact (the experiment must not touch the recipe)."""
+    model_cfg = Config.fromfile(osp.join(CFG_DIR, "models/nerf_mlp.yml")).model
+    renderer_cfg = Config.fromfile(osp.join(CFG_DIR, "renderers/renderer.yml")).renderer
+    base = RENDERERS.build(renderer_cfg)
+    renderer_cfg.eval_compositing_dtype = "bfloat16"
+    bf16 = RENDERERS.build(renderer_cfg)
+    model = MODELS.build(model_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    fns = [lambda o, d, l, **kw: model.apply(params, o, d, l, **kw)] * 2
+    origins, directions, lengths, xys = _bundle(jax.random.PRNGKey(0))
+
+    for mode, rng in ((EvaluationMode.EVALUATION, None), (EvaluationMode.TRAINING, jax.random.PRNGKey(1))):
+        out0 = base(rng, origins, directions, lengths, xys, None,
+                    implicit_functions=fns, evaluation_mode=mode)
+        out1 = bf16(rng, origins, directions, lengths, xys, None,
+                    implicit_functions=fns, evaluation_mode=mode)
+        assert out1.features.dtype == jnp.float32
+        f0, f1 = np.asarray(out0.features), np.asarray(out1.features)
+        if mode == EvaluationMode.TRAINING:
+            np.testing.assert_array_equal(f0, f1)
+        else:
+            np.testing.assert_allclose(f0, f1, atol=3e-2)
+            assert not np.array_equal(f0, f1)  # the cast actually happened
+
+
+def test_eval_compositing_dtype_proposal_renderer():
+    model_cfg = Config.fromfile(osp.join(CFG_DIR, "models/nerf_mlp.yml")).model
+    model = MODELS.build(model_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    fns = [lambda o, d, l, **kw: model.apply(params, o, d, l, **kw)] * 2
+    cfg = dict(type="ProposalEmissionAbsorpsionRenderer",
+               n_pts_per_ray_final_evaluation=4, n_pts_per_ray_final_training=4)
+    base = RENDERERS.build(dict(cfg))
+    bf16 = RENDERERS.build(dict(cfg, eval_compositing_dtype="bfloat16"))
+    origins, directions, lengths, xys = _bundle(jax.random.PRNGKey(0))
+    out0 = base(None, origins, directions, lengths, xys, None,
+                implicit_functions=fns, evaluation_mode=EvaluationMode.EVALUATION)
+    out1 = bf16(None, origins, directions, lengths, xys, None,
+                implicit_functions=fns, evaluation_mode=EvaluationMode.EVALUATION)
+    assert out1.features.dtype == jnp.float32
+    assert out1.aux["weights"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out0.features), np.asarray(out1.features), atol=5e-2)

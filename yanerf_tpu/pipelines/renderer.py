@@ -69,6 +69,26 @@ def refine_ray_points(
     return RayBundle(origins=origins, directions=directions, lengths=z_vals, xys=xys)
 
 
+def _compositing_cast(eval_compositing_dtype, evaluation_mode, model_out):
+    """Optionally cast compositing inputs to a cheaper dtype at evaluation.
+
+    An eval-only bandwidth experiment (VERDICT r3 #3 "try bf16 eval
+    compositing"): the MLP already computes in bf16 and casts its outputs
+    to f32; this re-casts the (rays, pts, .) density/feature tensors
+    entering the compositing fusions, halving their HBM traffic. Depth
+    samples/directions stay f32 (bf16's 8-bit mantissa would quantize the
+    deltas). Outputs are cast back to f32 by the callers so metrics and
+    downstream consumers are unchanged in type.
+    """
+    if eval_compositing_dtype is None or evaluation_mode == EvaluationMode.TRAINING:
+        return model_out
+    out = dict(model_out)
+    out["rays_densities"] = model_out["rays_densities"].astype(eval_compositing_dtype)
+    if "rays_features" in out:
+        out["rays_features"] = model_out["rays_features"].astype(eval_compositing_dtype)
+    return out
+
+
 @RENDERERS.register_module()
 class MultipassEmissionAbsorpsionRenderer:
     def __init__(
@@ -88,8 +108,13 @@ class MultipassEmissionAbsorpsionRenderer:
         hard_background: bool = False,
         density_relu: bool = True,
         surface_thickness: int = 1,
+        eval_compositing_dtype: str = None,
     ) -> None:
         self.density_noise_std_train = density_noise_std_train
+        # eval-only compositing dtype experiment (see _compositing_cast)
+        self.eval_compositing_dtype = (
+            jnp.dtype(eval_compositing_dtype) if eval_compositing_dtype else None
+        )
         self.append_coarse_samples_to_fine = append_coarse_samples_to_fine
         self._refiner_cfg = {
             EvaluationMode.TRAINING: (n_pts_per_ray_fine_training, stratified_sampling_coarse_training),
@@ -146,9 +171,10 @@ class MultipassEmissionAbsorpsionRenderer:
             noise_rng, refine_rng, next_rng = jax.random.split(rng, 3)
 
         model_out = implicit_functions[0](origins, directions, lengths, **kwargs)
+        cast_out = _compositing_cast(self.eval_compositing_dtype, evaluation_mode, model_out)
         features, depths, alpha_masks, weights = emission_absorption(
-            model_out["rays_densities"],
-            model_out["rays_features"],
+            cast_out["rays_densities"],
+            cast_out["rays_features"],
             ray_lengths=lengths,
             ray_directions=directions,
             density_noise_std=density_noise_std,
@@ -156,6 +182,10 @@ class MultipassEmissionAbsorpsionRenderer:
             bg_color=bg_color,
             **self.raymarcher_kwargs,
         )
+        if self.eval_compositing_dtype is not None:
+            features, depths, alpha_masks, weights = (
+                x.astype(jnp.float32) for x in (features, depths, alpha_masks, weights)
+            )
         aux = dict(model_out.get("aux", {}))
         aux["weights"] = weights
 
@@ -226,8 +256,13 @@ class ProposalEmissionAbsorpsionRenderer:
         surface_thickness: int = 1,
         interlevel_loss_eps: float = 1e-7,
         distortion_in_disparity: bool = False,
+        eval_compositing_dtype: str = None,
     ) -> None:
         self.density_noise_std_train = density_noise_std_train
+        # eval-only compositing dtype experiment (see _compositing_cast)
+        self.eval_compositing_dtype = (
+            jnp.dtype(eval_compositing_dtype) if eval_compositing_dtype else None
+        )
         # set alongside the ray sampler's sample_in_disparity so the
         # distortion loss measures spread in the matching s coordinate
         self.distortion_in_disparity = distortion_in_disparity
@@ -288,12 +323,14 @@ class ProposalEmissionAbsorpsionRenderer:
             if rng is not None:
                 rng, refine_rng = jax.random.split(rng)
             prop_out = implicit_functions[k](origins, directions, lengths, **kwargs)
+            prop_out = _compositing_cast(self.eval_compositing_dtype, evaluation_mode, prop_out)
             prop_weights, _ = emission_absorption_weights(
                 prop_out["rays_densities"],
                 lengths,
                 directions,
                 **self.weights_kwargs,
             )
+            prop_weights = prop_weights.astype(jnp.float32)
             histograms.append((lengths, prop_weights))
             bundle = refine_ray_points(
                 refine_rng,
@@ -316,9 +353,10 @@ class ProposalEmissionAbsorpsionRenderer:
             self.density_noise_std_train if evaluation_mode == EvaluationMode.TRAINING else 0.0
         )
         model_out = implicit_functions[-1](origins, directions, lengths, **kwargs)
+        cast_out = _compositing_cast(self.eval_compositing_dtype, evaluation_mode, model_out)
         features, depths, alpha_masks, weights = emission_absorption(
-            model_out["rays_densities"],
-            model_out["rays_features"],
+            cast_out["rays_densities"],
+            cast_out["rays_features"],
             ray_lengths=lengths,
             ray_directions=directions,
             density_noise_std=density_noise_std,
@@ -327,6 +365,10 @@ class ProposalEmissionAbsorpsionRenderer:
             **self.raymarcher_kwargs,
         )
 
+        if self.eval_compositing_dtype is not None:
+            features, depths, alpha_masks, weights = (
+                x.astype(jnp.float32) for x in (features, depths, alpha_masks, weights)
+            )
         loss = None
         for prop_lengths, prop_weights in histograms:
             term = interlevel_loss(
