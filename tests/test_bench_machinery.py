@@ -80,6 +80,7 @@ def test_emit_falls_back_to_classic_headline(capsys):
     assert p["eval_fps_800px_full_budget"] == 1.44
 
 
+@pytest.mark.slow
 def test_dryrun_parent_never_imports_jax():
     """The parent decides from env vars alone; a poisoned ``jax`` module in
     the parent must be harmless because only the re-exec'd child (a fresh

@@ -2,6 +2,7 @@
 must reproduce the framework's render bit-for-bit and load without the
 framework's registries/config in the consumer path."""
 
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -58,6 +59,7 @@ pipeline:
 """
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     cfg = tmp_path / "tiny.yml"
     cfg.write_text(TINY_CFG)

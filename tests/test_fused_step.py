@@ -3,6 +3,7 @@ loop): grouping K optimizer steps into one ``lax.scan`` dispatch must be
 numerically identical to K sequential single-step calls — same sampler
 indices, same per-step RNG (folded by global step), same updates."""
 
+import pytest
 from typing import Callable, NamedTuple
 
 import jax
@@ -112,6 +113,7 @@ def _max_param_diff(a, b):
     return max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(leaves_a, leaves_b))
 
 
+@pytest.mark.slow
 def test_fused_step_matches_sequential_steps():
     pipeline = PIPELINES.build(_tiny_pipeline_cfg())
     dataset = TinyDataset()
@@ -210,6 +212,7 @@ class EightBitDataset(TinyDataset):
         ]
 
 
+@pytest.mark.slow
 def test_fused_epoch_with_quantized_cache_is_bit_transparent(tmp_path):
     """The uint8-quantized device cache must be invisible to training: the
     SAME fused program over the quantized cache produces a bit-identical

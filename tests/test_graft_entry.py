@@ -3,6 +3,7 @@ test harness's virtual-mesh bootstrap (this is exactly what broke in round 1:
 ``dryrun_multichip`` assumed someone else had created the 8 virtual devices).
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -41,6 +42,7 @@ def test_entry_traces_in_fresh_interpreter():
     assert "TRACE_OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_virtual_mesh():
     """Round-1 regression: only 1 device visible -> must self-bootstrap 8."""
     code = (

@@ -1,5 +1,6 @@
 """HashGridNeRF (Instant-NGP-style) model family tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,6 +116,7 @@ def test_overfit_tiny_field():
     assert float(loss) < 0.1 * loss0, (loss0, float(loss))
 
 
+@pytest.mark.slow
 def test_pipeline_composition_with_hash_grid():
     """HashGridNeRF drops into the standard pipeline via the registry."""
     from yanerf_tpu.ops.structures import EvaluationMode

@@ -128,6 +128,7 @@ def test_mip_nerf_gradient_flow():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+@pytest.mark.slow
 def test_mip_nerf_in_pipeline():
     from yanerf_tpu.ops.structures import EvaluationMode
     from yanerf_tpu.pipelines import PIPELINES
@@ -168,6 +169,7 @@ def test_mip_nerf_in_pipeline():
         assert np.all(np.isfinite(np.asarray(preds["objective"])))
 
 
+@pytest.mark.slow
 def test_mip_nerf_under_proposal_renderer():
     """MipNeRFMLP as the final model of the proposal-estimator family (the
     flagship renderer): the interval machinery must compose with the

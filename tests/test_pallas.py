@@ -61,6 +61,7 @@ def test_model_apply_use_pallas_flag_routes_to_kernel():
     )
 
 
+@pytest.mark.slow
 def test_pipeline_training_forces_jnp_path_under_grad():
     """use_pallas=True pipelines must still train (grad falls back to jnp)."""
     from yanerf_tpu.ops.structures import EvaluationMode

@@ -5,6 +5,7 @@ SURVEY.md §4), we can: GSPMD-sharded train/eval steps must produce the same
 numbers as the unsharded program, because sharding only changes placement.
 """
 
+import pytest
 import os.path as osp
 from typing import Callable, NamedTuple
 
@@ -57,6 +58,7 @@ def _batch():
     return (poses, focals, image)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_unsharded():
     pipeline = _pipeline()
     optimizer = create_optimizer(RUNNER_CFG)
@@ -197,6 +199,7 @@ def test_sharded_proposal_train_step_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_multi_step_under_mesh_matches_unsharded_sequential():
     """make_train_step_fused under a (data, rays) mesh == sequential
     unsharded single steps: grouping and sharding are both transparent."""

@@ -128,6 +128,7 @@ def test_pipeline_eval_without_gt_has_no_objective():
     assert preds["rendered_images"].shape == (2, 6, 10, 3)
 
 
+@pytest.mark.slow
 def test_pipeline_forward_is_jittable():
     pipeline, params = _load_pipeline("nerf_pipeline_cfg_with_mlp.py")
     poses, focals, image, rng = _camera_batch()

@@ -22,6 +22,7 @@ torch = pytest.importorskip("torch")
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_repro_parity_smoke(tmp_path):
     out = tmp_path / "parity_smoke.json"
     env = dict(os.environ)
