@@ -58,12 +58,18 @@ def _run_phase(name: str, fn, deadline_s: float) -> bool:
     def _handler(signum, frame):
         raise PhaseTimeout(name)
 
+    done = False
     old = signal.signal(signal.SIGALRM, _handler)
     signal.alarm(max(1, int(deadline_s)))
     try:
         fn()
+        done = True
         return True
     except PhaseTimeout:
+        if done:
+            # alarm delivered in the gap between fn() returning and
+            # alarm(0) — the phase DID finish; don't discard its result
+            return True
         _progress(f"{name}: TIMED OUT after {deadline_s:.0f}s — skipping to next phase")
         return False
     except Exception as exc:  # noqa: BLE001 — a failed phase must not kill the bench
@@ -321,7 +327,11 @@ def main():
     _gwd = threading.Timer(budget_s + 90.0, _global_watchdog)
     _gwd.daemon = True
     _gwd.start()
-    if not _run_phase("backend_init", _init_backend, min(300.0, budget_s / 2)):
+    # success criterion is the evidence (init_box populated), not the
+    # fence's return value — immune to the alarm-after-completion race
+    if not _run_phase("backend_init", _init_backend, min(300.0, budget_s / 2)) and (
+        "n_chips" not in init_box
+    ):
         _progress("device backend unreachable (tunnel down?) — aborting with no JSON")
         sys.exit(1)
 
@@ -396,8 +406,11 @@ def main():
         _run_phase(name, fn, min(deadline, left))
         _emit(results)
 
-    if not results:
-        _progress("no phase completed inside the budget — no JSON emitted")
+    if "proposal_rays" not in results and "classic_rays" not in results:
+        # enrichment-only results (fused/eval) never produce a headline
+        # line (_emit returns early), so stdout is empty — exit nonzero so
+        # the driver records a failure instead of parsed=null with rc=0
+        _progress("no headline phase completed — no JSON was emitted")
         sys.exit(1)
 
 

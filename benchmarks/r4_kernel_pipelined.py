@@ -98,7 +98,9 @@ def main():
 
         def bench(fn, label, n_iter=30):
             arm_key = f"{shape_name}/{label}"
-            if record["arms"].get(arm_key):
+            # only a SUCCESSFUL record skips — error records (transient
+            # tunnel/compile-helper failures) are retried on re-run
+            if "ms" in record["arms"].get(arm_key, {}):
                 log(f"SKIP {arm_key}: {record['arms'][arm_key]}")
                 return
             try:

@@ -123,6 +123,60 @@ def main():
     WORK.mkdir(parents=True, exist_ok=True)
     record = read_record()
 
+    def run_test_only(key: str, opts: list, meta: dict) -> None:
+        """One --test_only PSNR arm into record['runs'][key] (skip if done)."""
+        if record["runs"].get(key, {}).get("test_psnr") is not None:
+            log(f"SKIP {key}: {record['runs'][key]['test_psnr']:.2f}")
+            return
+        out_dir = WORK / key
+        out_dir.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "run.py"),
+             "--config", str(CKPT_RUN / "config.yml"),
+             "--output_dir", str(out_dir),
+             "--checkpoint", str(CKPT_RUN / "ckpts" / "ckpts_-001"),
+             "--test_only", "--cfg_options", *opts],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        test_psnr = None
+        stats = sorted(out_dir.glob("version_*/test_stats.json")) + (
+            [out_dir / "test_stats.json"] if (out_dir / "test_stats.json").exists() else []
+        )
+        if proc.returncode == 0 and stats:
+            lines = [ln for ln in stats[-1].read_text().splitlines() if ln.strip()]
+            if lines:
+                test_psnr = json.loads(lines[-1]).get("test_loss_rgb_psnr")
+        if proc.returncode != 0:
+            log(f"FAIL {key}: rc={proc.returncode}\n{proc.stderr[-2000:]}")
+        record["runs"][key] = dict(meta, test_psnr=test_psnr,
+                                   wall_s=round(time.time() - t0, 1),
+                                   returncode=proc.returncode)
+        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+        log(f"DONE {key}: psnr={test_psnr}")
+
+    def run_fps(key: str, fps_argv: list) -> None:
+        """One fps arm (child subprocess) into record['fps'][key]."""
+        if record["fps"].get(key) is not None:
+            log(f"SKIP fps {key}: {record['fps'][key]}")
+            return
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "benchmarks" / "r4_occupancy_eval.py"), *fps_argv],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        fps = None
+        for ln in reversed(proc.stdout.splitlines()):
+            try:
+                fps = json.loads(ln)["fps"]
+                break
+            except Exception:
+                continue
+        if proc.returncode != 0:
+            log(f"FAIL fps {key}: rc={proc.returncode}\n{proc.stderr[-1500:]}")
+        record["fps"][key] = round(fps, 3) if fps else None
+        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+        log(f"DONE fps {key}: {fps}")
+
     # 1. fit the occupancy grid from the trained final-pass density field
     # (subprocess: the parent must never hold a TPU client alongside arms)
     if not OCC_NPZ.exists():
@@ -142,133 +196,39 @@ def main():
         OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
         log(f"fitted occupancy: {frac_line}")
 
+    def budget_opts(p0, p1, pf):
+        return [
+            f"pipeline.ray_sampler.n_pts_per_ray_evaluation={p0}",
+            f"pipeline.renderer.n_pts_per_ray_intermediate_evaluation=[{p1}]",
+            f"pipeline.renderer.n_pts_per_ray_final_evaluation={pf}",
+            "pipeline.ray_sampler.scene_aabb=" + json.dumps(AABB),
+        ]
+
     # 2. PSNR at each budget x {aabb-only baseline, aabb + occupancy}
-    for budget in BUDGETS:
-        p0, p1, pf = budget
+    for p0, p1, pf in BUDGETS:
         for use_occ in (False, True):
             key = f"{p0}-{p1}-{pf}" + ("_occ" if use_occ else "_aabb")
-            if record["runs"].get(key, {}).get("test_psnr") is not None:
-                log(f"SKIP {key}: {record['runs'][key]['test_psnr']:.2f}")
-                continue
-            out_dir = WORK / key
-            out_dir.mkdir(parents=True, exist_ok=True)
-            opts = [
-                f"pipeline.ray_sampler.n_pts_per_ray_evaluation={p0}",
-                f"pipeline.renderer.n_pts_per_ray_intermediate_evaluation=[{p1}]",
-                f"pipeline.renderer.n_pts_per_ray_final_evaluation={pf}",
-                "pipeline.ray_sampler.scene_aabb=" + json.dumps(AABB),
-            ]
+            opts = budget_opts(p0, p1, pf)
             if use_occ:
                 opts.append(f"pipeline.ray_sampler.occupancy_grid={OCC_NPZ}")
-            t0 = time.time()
-            proc = subprocess.run(
-                [sys.executable, str(REPO / "scripts" / "run.py"),
-                 "--config", str(CKPT_RUN / "config.yml"),
-                 "--output_dir", str(out_dir),
-                 "--checkpoint", str(CKPT_RUN / "ckpts" / "ckpts_-001"),
-                 "--test_only", "--cfg_options", *opts],
-                cwd=REPO, capture_output=True, text=True,
-            )
-            wall = time.time() - t0
-            test_psnr = None
-            stats = sorted(out_dir.glob("version_*/test_stats.json")) + (
-                [out_dir / "test_stats.json"] if (out_dir / "test_stats.json").exists() else []
-            )
-            if proc.returncode == 0 and stats:
-                lines = [ln for ln in stats[-1].read_text().splitlines() if ln.strip()]
-                if lines:
-                    test_psnr = json.loads(lines[-1]).get("test_loss_rgb_psnr")
-            if proc.returncode != 0:
-                log(f"FAIL {key}: rc={proc.returncode}\n{proc.stderr[-2000:]}")
-            record["runs"][key] = {
-                "budget": f"{p0}-{p1}-{pf}", "occupancy": use_occ,
-                "test_psnr": test_psnr, "wall_s": round(wall, 1),
-                "returncode": proc.returncode,
-            }
-            OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
-            log(f"DONE {key}: psnr={test_psnr} ({wall:.0f}s)")
+            run_test_only(key, opts, {"budget": f"{p0}-{p1}-{pf}", "occupancy": use_occ})
 
     # 3. fps at each budget x {off, on} (subprocess per arm)
-    for budget in BUDGETS:
-        p0, p1, pf = budget
+    for p0, p1, pf in BUDGETS:
         for use_occ in (False, True):
             key = f"{p0}-{p1}-{pf}" + ("_occ" if use_occ else "_aabb")
-            if record["fps"].get(key) is not None:
-                log(f"SKIP fps {key}: {record['fps'][key]}")
-                continue
-            proc = subprocess.run(
-                [sys.executable, str(REPO / "benchmarks" / "r4_occupancy_eval.py"),
-                 "--fps_arm", f"{p0},{p1},{pf}",
-                 "--occupancy", str(OCC_NPZ) if use_occ else ""],
-                cwd=REPO, capture_output=True, text=True,
-            )
-            fps = None
-            for ln in reversed(proc.stdout.splitlines()):
-                try:
-                    fps = json.loads(ln)["fps"]
-                    break
-                except Exception:
-                    continue
-            if proc.returncode != 0:
-                log(f"FAIL fps {key}: rc={proc.returncode}\n{proc.stderr[-1500:]}")
-            record["fps"][key] = round(fps, 3) if fps else None
-            OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
-            log(f"DONE fps {key}: {fps}")
+            run_fps(key, ["--fps_arm", f"{p0},{p1},{pf}",
+                          "--occupancy", str(OCC_NPZ) if use_occ else ""])
 
     # 3b. bf16 eval-compositing experiment at full budget (VERDICT r3 #3
-    # "try bf16 eval compositing"): PSNR via --test_only + fps arm, vs the
-    # 64-64-32_aabb baseline measured above
+    # "try bf16 eval compositing"): PSNR + fps vs the 64-64-32_aabb baseline
     key = "64-64-32_bf16comp"
-    if record["runs"].get(key, {}).get("test_psnr") is None:
-        out_dir = WORK / key
-        out_dir.mkdir(parents=True, exist_ok=True)
-        opts = [
-            "pipeline.ray_sampler.n_pts_per_ray_evaluation=64",
-            "pipeline.renderer.n_pts_per_ray_intermediate_evaluation=[64]",
-            "pipeline.renderer.n_pts_per_ray_final_evaluation=32",
-            "pipeline.ray_sampler.scene_aabb=" + json.dumps(AABB),
-            "pipeline.renderer.eval_compositing_dtype=bfloat16",
-        ]
-        t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "run.py"),
-             "--config", str(CKPT_RUN / "config.yml"),
-             "--output_dir", str(out_dir),
-             "--checkpoint", str(CKPT_RUN / "ckpts" / "ckpts_-001"),
-             "--test_only", "--cfg_options", *opts],
-            cwd=REPO, capture_output=True, text=True,
-        )
-        test_psnr = None
-        stats = sorted(out_dir.glob("version_*/test_stats.json")) + (
-            [out_dir / "test_stats.json"] if (out_dir / "test_stats.json").exists() else []
-        )
-        if proc.returncode == 0 and stats:
-            lines = [ln for ln in stats[-1].read_text().splitlines() if ln.strip()]
-            if lines:
-                test_psnr = json.loads(lines[-1]).get("test_loss_rgb_psnr")
-        record["runs"][key] = {
-            "budget": "64-64-32", "bf16_compositing": True,
-            "test_psnr": test_psnr, "wall_s": round(time.time() - t0, 1),
-            "returncode": proc.returncode,
-        }
-        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
-        log(f"DONE {key}: psnr={test_psnr}")
-    if record["fps"].get(key) is None:
-        proc = subprocess.run(
-            [sys.executable, str(REPO / "benchmarks" / "r4_occupancy_eval.py"),
-             "--fps_arm", "64,64,32", "--occupancy", "", "--bf16_compositing"],
-            cwd=REPO, capture_output=True, text=True,
-        )
-        fps = None
-        for ln in reversed(proc.stdout.splitlines()):
-            try:
-                fps = json.loads(ln)["fps"]
-                break
-            except Exception:
-                continue
-        record["fps"][key] = round(fps, 3) if fps else None
-        OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
-        log(f"DONE fps {key}: {fps}")
+    run_test_only(
+        key,
+        budget_opts(64, 64, 32) + ["pipeline.renderer.eval_compositing_dtype=bfloat16"],
+        {"budget": "64-64-32", "bf16_compositing": True},
+    )
+    run_fps(key, ["--fps_arm", "64,64,32", "--occupancy", "", "--bf16_compositing"])
 
     # 4. summary frontier rows
     record["summary"] = {}

@@ -80,7 +80,10 @@ def _table_lookup_bwd(res, ct):
     ct = ct.astype(jnp.float32).reshape(-1, n_feats)
     idx = flat_idx.reshape(-1)
     n = idx.shape[0]
-    if n <= max(_BWD_SCAN_THRESHOLD, _BWD_SCAN_CHUNK):
+    # honor the documented override: threshold 0 forces the scan path even
+    # below one chunk (a single-iteration scan — same numerics, lets the
+    # scan lowering be validated on-device at any shape)
+    if n <= _BWD_SCAN_THRESHOLD:
         # F independent FLAT scatter-adds into (T,) — measured ~6x faster
         # than one row scatter-add into (T, F) (12.6M updates, v5e)
         grad = jnp.stack(

@@ -128,7 +128,7 @@ def occupancy_ray_bounds(
     occ: OccupancyGrid,
     t_lo: jax.Array,
     t_hi: jax.Array,
-    n_probe: int = 64,
+    n_probe: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """Tighten per-ray depth bounds to the occupied span along each ray.
 
@@ -145,7 +145,7 @@ def occupancy_ray_bounds(
     Fully dense and branch-free: one ``(..., n_probe)`` gather + reductions,
     no MLP evaluation — orders of magnitude cheaper than the samples it
     saves. Peak transient is the ``(..., n_probe)`` probe lattice; at
-    800x800 eval with the default 64 probes that is ~160 MB of f32, well
+    800x800 eval with the default 128 probes that is ~320 MB of f32, well
     inside HBM next to the bundle's own ``lengths``.
 
     Args:
@@ -154,9 +154,11 @@ def occupancy_ray_bounds(
         occ: the grid (captured as a compile-time constant by the sampler).
         t_lo/t_hi: scalar or ``(...,)`` outer bounds (e.g. the slab-test
             output); the result is always inside them.
-        n_probe: probes per ray. Coverage rule of thumb: with a grid of
-            resolution R spanning the scene box and probes spanning a chord
-            of it, ``n_probe >= R`` cannot skip an occupied+dilated voxel.
+        n_probe: probes per ray. Coverage rule: with a grid of resolution
+            R spanning the scene box and probes spanning a chord of it,
+            ``n_probe >= R`` cannot skip an occupied+dilated voxel — the
+            default (128) matches ``scripts/fit_occupancy.py``'s default
+            grid resolution; lower it only together with the grid.
 
     Returns:
         ``(t_near, t_far)`` each shaped ``(...,)``.

@@ -121,7 +121,7 @@ def xy_to_ray_bundle(
     sample_in_disparity: bool = False,
     scene_aabb: Optional[jax.Array] = None,
     occupancy=None,
-    occupancy_n_probe: int = 64,
+    occupancy_n_probe: int = 128,
 ) -> RayBundle:
     """Unproject pixel coordinates into world-space rays with depth samples.
 

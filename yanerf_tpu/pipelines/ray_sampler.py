@@ -54,7 +54,7 @@ class _RaySampler:
         sample_in_disparity: bool = False,
         scene_aabb=None,
         occupancy=None,
-        occupancy_n_probe: int = 64,
+        occupancy_n_probe: int = 128,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -211,7 +211,7 @@ class RaySampler:
         scene_aabb: Optional[List[float]] = None,
         scene_aabb_eval_only: bool = False,
         occupancy_grid: Optional[str] = None,
-        occupancy_n_probe: int = 64,
+        occupancy_n_probe: int = 128,
         occupancy_eval_only: bool = True,
     ) -> None:
         self.image_width = image_width
