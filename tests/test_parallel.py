@@ -233,3 +233,40 @@ def test_fused_multi_step_under_mesh_matches_unsharded_sequential():
     assert int(state_a.step) == int(state_b.step) == 3
     for a, b in zip(jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_eval_with_occupancy_matches_unsharded(tmp_path):
+    """Occupancy bounds are a captured constant — GSPMD must replicate the
+    grid and produce identical renders under ray sharding (the multi-chip
+    serving path for the round-4 empty-space skipping)."""
+    from yanerf_tpu.ops.occupancy import OccupancyGrid, save_occupancy
+    from yanerf_tpu.ops.structures import EvaluationMode
+
+    # half-occupied grid so the tightening is nontrivial
+    grid = np.zeros((16, 16, 16), np.uint8)
+    grid[:, :, 8:] = 1
+    occ = OccupancyGrid(grid=grid, aabb=np.asarray([[-3.0] * 3, [3.0] * 3], np.float32))
+    path = str(tmp_path / "occ.npz")
+    save_occupancy(path, occ, threshold=1.0)
+
+    cfg = Config.fromfile(osp.join(CFG_DIR, "pipelines", "nerf_pipeline_cfg_with_mlp.py"))
+    cfg.pipeline.ray_sampler.image_width = 8
+    cfg.pipeline.ray_sampler.image_height = 8
+    cfg.pipeline.ray_sampler.n_rays_per_image_sampled_from_mask = 8
+    cfg.pipeline.ray_sampler.occupancy_grid = path
+    cfg.pipeline.output_rasterized_mc = False
+    pipeline = PIPELINES.build(cfg.pipeline)
+
+    params = pipeline.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+    eval_plain = make_eval_step(pipeline, mesh=None)
+    preds1 = eval_plain(params, prepare_batch(_batch(), W, None), rng)
+
+    mesh = create_mesh(data_parallel=1, ray_parallel=8)
+    eval_sharded = make_eval_step(pipeline, mesh=mesh)
+    preds2 = eval_sharded(params, prepare_batch(_batch(), W, mesh), rng)
+
+    np.testing.assert_allclose(
+        np.asarray(preds1["rendered_images"]), np.asarray(preds2["rendered_images"]),
+        rtol=2e-5, atol=2e-6,
+    )
