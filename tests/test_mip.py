@@ -223,3 +223,15 @@ def test_mip_nerf_under_proposal_renderer():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_intervals_from_midpoints_never_cross_cone_apex():
+    """A near plane smaller than half the first sample gap must not
+    extrapolate the first interval edge to t0 < 0 (the frustum moment
+    formulas assume 0 < t0 < t1)."""
+    from yanerf_tpu.ops.mip import intervals_from_midpoints
+
+    lengths = jnp.linspace(0.04, 6.0, 65)[None]  # gap ~0.093 > 2*near
+    t0, t1 = intervals_from_midpoints(lengths)
+    assert float(t0.min()) > 0.0
+    assert bool(jnp.all(t1 > t0))

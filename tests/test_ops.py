@@ -492,3 +492,77 @@ def test_calc_ssim_matches_numpy_reference_and_is_bounded():
     ref = _ssim_numpy_reference(x, yv)
     np.testing.assert_allclose(ours, ref, atol=5e-4)
     assert (np.abs(ours) <= 1.0 + 1e-4).all()
+
+
+def test_sample_pdf_empty_tail_bin_matches_searchsorted_reference():
+    """u == 1.0 (always present with det=True) must land on the TOP edge
+    even when the last bin is (near-)empty — searchsorted-right + clip
+    semantics (reference renderers/utils.py:83-158)."""
+    import numpy as np
+
+    from yanerf_tpu.ops.sample_pdf import sample_pdf
+
+    n_bins = 64
+    bins = jnp.linspace(2.0, 6.0, n_bins + 1)[None, :].repeat(8, axis=0)
+    w = np.zeros((8, n_bins), np.float32)
+    w[:, : n_bins // 2] = np.random.RandomState(0).rand(8, n_bins // 2)  # empty tail
+    samples = np.asarray(sample_pdf(bins, jnp.asarray(w), 16, det=True))
+
+    # numpy searchsorted reference (same eps regularization)
+    eps = 1e-5
+    # strict float32 throughout: the op's CDF is f32, and inside the
+    # eps-wide plateau of the empty tail an f64 reference lands u in a
+    # different plateau bin (one bin width apart) purely by rounding
+    wr = (w + np.float32(eps)).astype(np.float32)
+    pdf = (wr / wr.sum(-1, keepdims=True, dtype=np.float32)).astype(np.float32)
+    cdf = np.concatenate([np.zeros((8, 1), np.float32),
+                          np.cumsum(pdf, -1, dtype=np.float32)], -1)
+    u = np.linspace(0.0, 1.0, 16, dtype=np.float32)
+    ref = np.empty((8, 16), np.float32)
+    b = np.asarray(bins)
+    for i in range(8):
+        inds = np.searchsorted(cdf[i], u, side="right")
+        below = np.clip(inds - 1, 0, n_bins)
+        above = np.clip(inds, 0, n_bins)
+        c0, c1 = cdf[i][below], cdf[i][above]
+        denom = np.where((c1 - c0) < eps, 1.0, c1 - c0)
+        t = (u - c0) / denom
+        ref[i] = b[i][below] + t * (b[i][above] - b[i][below])
+    # interior samples match the searchsorted reference; the final u == 1.0
+    # is compared against the exact-math semantic (top edge) directly — an
+    # f32 emulation of searchsorted flips on whether cumsum overshoots 1.0
+    np.testing.assert_allclose(samples[:, :-1], ref[:, :-1], atol=2e-4)
+    np.testing.assert_allclose(samples[:, -1], 6.0)  # top edge, not one bin low
+
+
+def test_sample_pdf_negative_weights_clamped_in_range():
+    """The reference raises on negative weights; under jit we clamp — the
+    CDF stays monotone and samples stay inside the bin range."""
+    import numpy as np
+
+    from yanerf_tpu.ops.sample_pdf import sample_pdf
+
+    bins = jnp.linspace(2.0, 6.0, 17)[None]
+    w = np.ones((1, 16), np.float32)
+    w[0, 5:9] = -3.0  # a negative band
+    s = np.asarray(sample_pdf(bins, jnp.asarray(w), 32, det=True))
+    assert s.min() >= 2.0 - 1e-5 and s.max() <= 6.0 + 1e-5
+    # identical to explicitly clamped input
+    s2 = np.asarray(sample_pdf(bins, jnp.asarray(np.maximum(w, 0.0)), 32, det=True))
+    np.testing.assert_array_equal(s, s2)
+
+
+def test_hard_background_broadcasts_single_channel_bg():
+    from yanerf_tpu.ops.raymarch import emission_absorption
+
+    dens = jnp.ones((4, 8, 1)) * 0.0  # empty ray -> pure background
+    feats = jnp.ones((4, 8, 3)) * 0.25
+    lengths = jnp.broadcast_to(jnp.linspace(1.0, 3.0, 8), (4, 8))
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4, 3))
+    features, depths, op, wts = emission_absorption(
+        dens, feats, ray_lengths=lengths, ray_directions=dirs,
+        default_bg_color=(0.5,), hard_background=True,
+        background_density_bias=1e-6,  # saturate the sentinel so bg shows
+    )
+    assert features.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(features), 0.5, atol=1e-5)

@@ -383,3 +383,38 @@ def test_distortion_loss_flows_through_pipeline():
         image_rgb=image, evaluation_mode=EvaluationMode.TRAINING)["objective"]))(params)
     total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(total) and total > 0.0
+
+
+def test_distortion_loss_fixed_near_far_rewards_concentration():
+    """With the published fixed g(near)/g(far) normalization, a ray whose
+    (resampled) mass concentrates in a small physical region must score
+    LOWER than one spread across the frustum — the property the
+    sampled-span fallback erases (it re-stretches every ray to [0, 1])."""
+    from yanerf_tpu.ops.proposal import distortion_loss
+
+    near = jnp.full((2, 1), 2.0)
+    far = jnp.full((2, 1), 6.0)
+    # ray 0: tight cluster of samples; ray 1: spread over the full chord
+    tight = jnp.linspace(3.0, 3.2, 17)
+    spread = jnp.linspace(2.0, 6.0, 17)
+    lengths = jnp.stack([tight, spread])
+    w = jnp.ones((2, 17)) / 16.0
+    loss = np.asarray(distortion_loss(lengths, w, near=near, far=far))
+    assert loss[0] < loss[1] * 0.2, loss
+    # without near/far both rays re-normalize to [0,1] and tie (the flaw)
+    loss_fallback = np.asarray(distortion_loss(lengths, w))
+    np.testing.assert_allclose(loss_fallback[0], loss_fallback[1], rtol=1e-5)
+
+
+def test_distortion_loss_near_far_matches_fallback_at_sampler_spacing():
+    """When lengths span exactly [near, far] (sampler-spaced depths), the
+    explicit normalization equals the first/last-sample fallback."""
+    from yanerf_tpu.ops.proposal import distortion_loss
+
+    lengths = jnp.linspace(2.0, 6.0, 33)[None]
+    w = jax.nn.softmax(jnp.sin(jnp.arange(33.0)))[None]
+    a = distortion_loss(lengths, w)
+    # fallback uses interval edges: first t_lo = lengths[0], last t_hi =
+    # lengths[-1] (intervals are [l_k, l_{k+1}]) — pass exactly those
+    b = distortion_loss(lengths, w, near=lengths[..., :1], far=lengths[..., -1:])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -48,7 +48,14 @@ def intervals_from_midpoints(lengths: jax.Array) -> Tuple[jax.Array, jax.Array]:
         ``t0, t1``: each ``(..., P)`` with ``t0 <= lengths <= t1``.
     """
     mids = 0.5 * (lengths[..., 1:] + lengths[..., :-1])
-    first = lengths[..., :1] - (mids[..., :1] - lengths[..., :1])
+    # the first edge must not extrapolate past the cone apex (t <= 0): the
+    # frustum moment formulas assume 0 < t0 < t1, and a near plane smaller
+    # than half the first sample gap would otherwise produce t0 < 0 and a
+    # wrong mean/covariance for every ray's first sample
+    first = jnp.maximum(
+        lengths[..., :1] - (mids[..., :1] - lengths[..., :1]),
+        jnp.finfo(lengths.dtype).tiny,
+    )
     last = lengths[..., -1:] + (lengths[..., -1:] - mids[..., -1:])
     t0 = jnp.concatenate([first, mids], axis=-1)
     t1 = jnp.concatenate([mids, last], axis=-1)

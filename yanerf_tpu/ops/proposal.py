@@ -70,7 +70,15 @@ def interlevel_loss(
         (that_lo[..., None, :] <= t_hi[..., :, None])
         & (that_hi[..., None, :] >= t_lo[..., :, None])
     ).astype(jnp.float32)
-    w_outer = jnp.sum(what[..., None, :].astype(jnp.float32) * overlap, axis=-1)
+    # einsum with pinned precision: XLA may lower a broadcast-multiply-
+    # reduce to a dot_general, and TPU dots default to bf16 operands
+    # (CLAUDE.md) — the f32 the comment above promises must be explicit
+    w_outer = jnp.einsum(
+        "...p,...fp->...f",
+        what.astype(jnp.float32),
+        overlap,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     w = w.astype(jnp.float32)
     excess = jax.nn.relu(w - w_outer)
@@ -78,7 +86,11 @@ def interlevel_loss(
 
 
 def distortion_loss(
-    lengths: jax.Array, weights: jax.Array, in_disparity: bool = False
+    lengths: jax.Array,
+    weights: jax.Array,
+    in_disparity: bool = False,
+    near: jax.Array = None,
+    far: jax.Array = None,
 ) -> jax.Array:
     """Per-ray distortion regularizer (mip-NeRF 360 eq. 15, PAPERS.md).
 
@@ -104,6 +116,14 @@ def distortion_loss(
             weight is excluded, as in ``interlevel_loss``).
         in_disparity: set when the depths are disparity-spaced so mids and
             deltas are measured in the matching s coordinate.
+        near/far: optional ``(..., 1)`` per-ray sampling bounds defining the
+            s normalization, as published (s = (g(t) - g(near)) /
+            (g(far) - g(near))). When omitted, the first/last SAMPLE stand
+            in — fine for sampler-spaced depths (they sit at the bounds),
+            but after importance resampling the sampled span shrinks with
+            the very concentration the loss rewards, re-stretching every
+            ray to [0, 1] and erasing cross-ray scale. The proposal
+            renderer passes its sampler-level bounds.
 
     Returns:
         ``(...,)`` per-ray loss.
@@ -111,15 +131,22 @@ def distortion_loss(
     t_lo, t_hi, w = _intervals(jax.lax.stop_gradient(lengths), weights)
     if in_disparity:
         # g(t) = 1/t; flip so s still increases front-to-back along the ray
-        t_lo, t_hi = -1.0 / jnp.maximum(t_lo, 1e-9), -1.0 / jnp.maximum(t_hi, 1e-9)
-    near = t_lo[..., :1]
-    span = jnp.maximum(t_hi[..., -1:] - near, 1e-9)
-    mids = (0.5 * (t_lo + t_hi) - near) / span
+        g = lambda t: -1.0 / jnp.maximum(t, 1e-9)  # noqa: E731
+        t_lo, t_hi = g(t_lo), g(t_hi)
+    else:
+        g = lambda t: t  # noqa: E731
+    g_near = t_lo[..., :1] if near is None else g(jax.lax.stop_gradient(near))
+    g_far = t_hi[..., -1:] if far is None else g(jax.lax.stop_gradient(far))
+    span = jnp.maximum(g_far - g_near, 1e-9)
+    mids = (0.5 * (t_lo + t_hi) - g_near) / span
     deltas = (t_hi - t_lo) / span
 
     w = w.astype(jnp.float32)
     mids = mids.astype(jnp.float32)
     cross = jnp.abs(mids[..., :, None] - mids[..., None, :])
-    inter = jnp.sum(w[..., :, None] * w[..., None, :] * cross, axis=(-2, -1))
+    # pinned-precision contraction (see interlevel_loss)
+    inter = jnp.einsum(
+        "...i,...j,...ij->...", w, w, cross, precision=jax.lax.Precision.HIGHEST
+    )
     intra = jnp.sum(w * w * deltas.astype(jnp.float32), axis=-1) / 3.0
     return inter + intra

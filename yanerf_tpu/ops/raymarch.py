@@ -162,7 +162,12 @@ def emission_absorption(
         alpha = opacities if blend_output else 1.0
         features = alpha * features + (1.0 - opacities) * bg_color
     else:
-        rays_features = jnp.concatenate([rays_features[..., :-1, :], bg_color[..., None, :]], axis=-2)
+        # a validated 1-channel bg must broadcast to C channels before the
+        # concat (the soft path broadcasts implicitly via arithmetic)
+        bg_row = jnp.broadcast_to(
+            bg_color[..., None, :], (*bg_color.shape[:-1], 1, n_channels)
+        )
+        rays_features = jnp.concatenate([rays_features[..., :-1, :], bg_row], axis=-2)
         features = jnp.sum(weights[..., None] * rays_features, axis=-2)
 
     return features, depths, opacities, weights

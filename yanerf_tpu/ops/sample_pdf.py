@@ -59,7 +59,11 @@ def sample_pdf(
         ``det=True`` or ``stratified=True``).
     """
     dtype = bins.dtype
-    weights = weights + eps
+    # the reference raises ValueError on negative weights (renderers/
+    # utils.py:135); under jit the values are traced, so clamp instead —
+    # identical for every valid input, and a non-monotone CDF (which would
+    # silently emit out-of-range samples) can never form
+    weights = jnp.maximum(weights, 0.0) + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., n_bins + 1)
@@ -95,4 +99,12 @@ def sample_pdf(
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
     t = (u_e - lo) / denom[..., None, :]
     val = bins_lo[..., None, :] + t * (bins_hi - bins_lo)[..., None, :]
-    return jnp.sum(jnp.where(in_bin, val, jnp.zeros_like(val)), axis=-1)
+    out = jnp.sum(jnp.where(in_bin, val, jnp.zeros_like(val)), axis=-1)
+    # u at/above the CDF top (det=True always emits u == 1.0): searchsorted-
+    # right + clip degenerates to below == above == the TOP edge in the
+    # reference. The lerp above matches that exactly when the last bin has
+    # real mass (t -> 1), but when it is (near-)empty the denom guard would
+    # park the sample a full bin width low — pin the exact-math semantics
+    # (cdf[-1] == 1 by construction; the min() guards f32 cumsum overshoot
+    # so the edge case cannot flip on summation rounding).
+    return jnp.where(u >= jnp.minimum(cdf[..., -1:], 1.0), bins[..., -1:], out)

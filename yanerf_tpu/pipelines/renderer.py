@@ -317,6 +317,11 @@ class ProposalEmissionAbsorpsionRenderer:
             )
         pts_schedule = list(intermediate) + [n_final]
 
+        # sampler-level per-ray bounds: the s-normalization domain of the
+        # distortion loss (the published g(near)/g(far); the resampled
+        # final lengths no longer span it — ops/proposal.py docstring)
+        s_near, s_far = lengths[..., :1], lengths[..., -1:]
+
         histograms = []  # (lengths, weights) per proposal pass
         for k in range(n_props):
             refine_rng = None
@@ -383,7 +388,8 @@ class ProposalEmissionAbsorpsionRenderer:
         # mip-NeRF 360's anti-floater regularizer over the final pass;
         # inert unless weighted via pipeline.loss_weights["loss_distortion"]
         aux["loss_distortion"] = distortion_loss(
-            lengths, weights, in_disparity=self.distortion_in_disparity
+            lengths, weights, in_disparity=self.distortion_in_disparity,
+            near=s_near, far=s_far,
         )
         return RendererOutput(
             features=features, depths=depths, alpha_masks=alpha_masks, aux=aux, prev_stage=None
