@@ -279,3 +279,12 @@ def test_table_lookup_bwd_scan_path_matches_flat(monkeypatch):
     # and both match plain autodiff of the underlying take
     auto_grad = jax.grad(lambda t: jnp.sum(jnp.take(t, idx, axis=0) * ct_seed))(table)
     np.testing.assert_allclose(np.asarray(flat_grad), np.asarray(auto_grad), rtol=1e-6, atol=1e-6)
+
+
+def test_contract_coords_requires_covering_scene_bound():
+    from yanerf_tpu.models import MODELS
+
+    with pytest.raises(ValueError, match="scene_bound >= 2.0"):
+        MODELS.build(dict(type="HashGridNeRF", contract_coords=True, scene_bound=1.5))
+    m = MODELS.build(dict(type="HashGridNeRF", contract_coords=True, scene_bound=2.0))
+    assert m.scene_bound == 2.0

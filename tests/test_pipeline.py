@@ -223,3 +223,23 @@ def test_pipeline_per_image_depth_bounds():
     d1 = fwd(params, min_d, max_d)
     d2 = fwd(params, min_d + 1.0, max_d + 1.0)
     assert np.isfinite(np.asarray(d1)).all() and np.isfinite(np.asarray(d2)).all()
+
+
+def test_pipeline_honors_sampler_sampling_modes_and_defaults():
+    """The pipeline must branch on the modes the SAMPLER was configured
+    with (they act jointly), and build when the config relies on the
+    sampler's default image size."""
+    from yanerf_tpu.ops.structures import RenderSamplingMode
+    from yanerf_tpu.pipelines import PIPELINES
+
+    p = PIPELINES.build(dict(
+        type="NeRFPipeline", chunk_size_grid=0, num_passes=1,
+        model=dict(type="ZeroOutputer"),
+        ray_sampler=dict(type="RaySampler", sampling_mode_evaluation="mask_sample",
+                         n_rays_per_image_sampled_from_mask=8),
+        renderer=dict(type="MultipassEmissionAbsorpsionRenderer"),
+        feature_extractor=[],
+    ))
+    assert p.render_image_height == 400 and p.render_image_width == 400
+    assert p.sampling_mode_evaluation == RenderSamplingMode.MASK_SAMPLE
+    assert p.sampling_mode_training == RenderSamplingMode.MASK_SAMPLE

@@ -311,3 +311,37 @@ def test_sampler_scene_aabb_eval_only():
     misses = np.isclose(eval_lengths, 10.0)
     assert (inside | misses).all()
     assert inside.any()
+
+
+def test_pixel_selection_and_depth_jitter_use_independent_streams():
+    """The MC pixel-selection key and the stratified depth-jitter key must
+    be independent: reusing one key couples a ray's pixel index to its
+    depth jitter deterministically every step (Threefry bits are a pure
+    function of the key)."""
+    from yanerf_tpu.ops.rays import jiggle_within_stratas
+
+    cfg = Config.fromfile(osp.join(CFG_DIR, "ray_samplers/ray_sampler.yml"))
+    cfg.ray_sampler.stratified_point_sampling_training = True
+    sampler = RAY_SAMPLERS.build(cfg.ray_sampler)
+    poses, focals = _cams()
+    rng = jax.random.PRNGKey(9)
+    bundle = sampler(rng, poses, focals, EvaluationMode.TRAINING)
+
+    # reconstruct what the OLD key-reuse behavior would have produced:
+    # jiggle with the top-level key on the deterministic bin centers
+    cfg.ray_sampler.stratified_point_sampling_training = False
+    det = RAY_SAMPLERS.build(cfg.ray_sampler)(rng, poses, focals, EvaluationMode.TRAINING)
+    reused = jiggle_within_stratas(rng, det.lengths)
+    assert not np.allclose(np.asarray(bundle.lengths), np.asarray(reused)), (
+        "depth jitter still drawn with the pixel-selection key"
+    )
+    # same selection key -> same pixels regardless of the depth stream
+    np.testing.assert_array_equal(np.asarray(bundle.xys), np.asarray(det.xys))
+
+
+def test_list_ray_count_without_multilayer_mask_raises_clearly():
+    sampler = _sampler()
+    poses, focals = _cams()
+    with pytest.raises(ValueError, match="multi-layer sampling_prob_mask"):
+        sampler(jax.random.PRNGKey(0), poses, focals, EvaluationMode.TRAINING,
+                n_rays_per_image=[4, 4])

@@ -155,8 +155,15 @@ class HashGridNeRF:
         self.color_dim = color_dim
         self.scene_bound = float(scene_bound)
         # unbounded scenes: contraction maps everything into |x| < 2, so a
-        # scene_bound of 2.0 covers the whole contracted domain
+        # scene_bound of 2.0 covers the whole contracted domain — anything
+        # smaller silently clips the contracted shell onto the boundary
+        # cells (the entire background would alias into one cell layer)
         self.contract_coords = contract_coords
+        if contract_coords and self.scene_bound < 2.0:
+            raise ValueError(
+                f"contract_coords=True requires scene_bound >= 2.0 (the contraction's "
+                f"codomain is |x| < 2), got {self.scene_bound}"
+            )
         self.input_dir = input_dir
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.latent_dim = 0  # pipeline contract parity with NeRFMLP

@@ -89,20 +89,7 @@ class MipNeRFMLP(NeRFMLP):
             append_input=self.harmonic_functions_xyz_append_intput,
         )
 
-        if global_codes is not None:
-            global_codes = global_codes.reshape(global_codes.shape[0], -1)
-            if global_codes.shape[-1] != self.latent_dim:
-                raise ValueError(
-                    f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {self.latent_dim}"
-                )
-            bs = embeds.shape[0]
-            broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (self.latent_dim,)
-            codes = jnp.broadcast_to(
-                global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], self.latent_dim)
-            )
-            embeds = jnp.concatenate([embeds, codes], axis=-1)
-        elif self.latent_dim != 0:
-            raise ValueError("latent_dim > 0 requires global_codes")
+        embeds = self._concat_global_codes(embeds, global_codes)
 
         features = self._encode_xyz(params, embeds)
         raw_densities = linear(params["density_layer"], features, self.compute_dtype).astype(jnp.float32)

@@ -139,6 +139,28 @@ class NeRFMLP:
         # head outputs return to f32: compositing/losses stay full precision
         return jax.nn.sigmoid(linear(color_layers[-1], color, self.compute_dtype).astype(jnp.float32))
 
+    def _concat_global_codes(self, embeds: jax.Array, global_codes) -> jax.Array:
+        """Validate + broadcast latent conditioning codes onto the embedding.
+
+        Shared by NeRFMLP.apply and MipNeRFMLP.apply so the conditioning
+        contract cannot drift between the families.
+        """
+        if global_codes is None:
+            if self.latent_dim != 0:
+                raise ValueError("latent_dim > 0 requires global_codes")
+            return embeds
+        global_codes = global_codes.reshape(global_codes.shape[0], -1)
+        if global_codes.shape[-1] != self.latent_dim:
+            raise ValueError(
+                f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {self.latent_dim}"
+            )
+        bs = embeds.shape[0]
+        broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (self.latent_dim,)
+        codes = jnp.broadcast_to(
+            global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], self.latent_dim)
+        )
+        return jnp.concatenate([embeds, codes], axis=-1)
+
     def apply(
         self,
         params: Dict[str, Any],
@@ -170,17 +192,14 @@ class NeRFMLP:
             points = contract_points(points)
         use_pallas = self.use_pallas if use_pallas is None else use_pallas
 
-        if global_codes is not None:
-            global_codes = global_codes.reshape(global_codes.shape[0], -1)
-            if global_codes.shape[-1] != self.latent_dim:
-                raise ValueError(
-                    f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {self.latent_dim}"
-                )
-        elif self.latent_dim != 0:
-            raise ValueError("latent_dim > 0 requires global_codes")
-
         use_pallas = use_pallas and self.input_xyz and self.latent_dim == 0
         if use_pallas:
+            if global_codes is not None:
+                # latent_dim == 0 here; codes would fail validation anyway
+                raise ValueError(
+                    f"global_codes dim {global_codes.reshape(global_codes.shape[0], -1).shape[-1]} "
+                    f"is incompatible with latent_dim {self.latent_dim}"
+                )
             # fused forward (+ custom-VJP fused backward when differentiated);
             # the kernel embeds in-register, skipping the XLA embedding
             from yanerf_tpu.ops.pallas import make_fused_mlp
@@ -195,13 +214,7 @@ class NeRFMLP:
         else:
             embeds = jnp.zeros((*points.shape[:-1], 0), dtype=points.dtype)
 
-        if global_codes is not None:
-            bs = embeds.shape[0]
-            broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (self.latent_dim,)
-            codes = jnp.broadcast_to(
-                global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], self.latent_dim)
-            )
-            embeds = jnp.concatenate([embeds, codes], axis=-1)
+        embeds = self._concat_global_codes(embeds, global_codes)
 
         features = self._encode_xyz(params, embeds)
         raw_densities = linear(params["density_layer"], features, self.compute_dtype).astype(jnp.float32)

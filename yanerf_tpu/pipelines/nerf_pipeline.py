@@ -54,10 +54,15 @@ class NeRFPipeline:
         self.logger = get_logger(__name__)
 
         self.ray_sampler = RAY_SAMPLERS.build(dict(ray_sampler))
-        self.render_image_height = ray_sampler["image_height"]
-        self.render_image_width = ray_sampler["image_width"]
-        self.sampling_mode_training = RenderSamplingMode.MASK_SAMPLE
-        self.sampling_mode_evaluation = RenderSamplingMode.FULL_GRID
+        # read from the BUILT sampler, not the raw config dict: configs may
+        # rely on RaySampler's own defaults, and the sampling modes must be
+        # the ones the sampler was actually configured with (the sampler
+        # and the pipeline branch on them jointly — a mismatch would label
+        # MC ray samples as full-grid images or vice versa)
+        self.render_image_height = self.ray_sampler.image_height
+        self.render_image_width = self.ray_sampler.image_width
+        self.sampling_mode_training = self.ray_sampler.sampling_mode(EvaluationMode.TRAINING)
+        self.sampling_mode_evaluation = self.ray_sampler.sampling_mode(EvaluationMode.EVALUATION)
 
         if isinstance(model, Sequence) and not isinstance(model, dict):
             model_cfgs = list(model)

@@ -103,9 +103,15 @@ class _RaySampler:
                 "from mask.sum() would create data-dependent shapes under jit."
             )
 
+        depth_rng = rng
         if num_rays is not None:
             if rng is None:
                 raise ValueError("Monte-Carlo ray sampling requires an rng key")
+            # independent streams: Threefry bits are a pure function of the
+            # key, so reusing one key for pixel selection AND the stratified
+            # depth jitter would couple a ray's pixel index to its jitter
+            # deterministically every step (a systematic sampling bias)
+            rng, depth_rng = jax.random.split(rng)
             uniform = mask is None and sampling_prob_mask is None
             if mask is not None:
                 assert mask.shape == xy_grid.shape[:3], f"{mask.shape} vs {xy_grid.shape[:3]}"
@@ -150,6 +156,12 @@ class _RaySampler:
                 return weighted_sample_without_replacement(key, w, n, approx=self.approx_top_k)
 
             if weights.ndim == 2:
+                if not isinstance(num_rays, (int, np.integer)):
+                    raise ValueError(
+                        f"n_rays_per_image={num_rays!r} is a list, which requires a "
+                        "(B, L, H, W) multi-layer sampling_prob_mask (one ray budget "
+                        "per probability layer); pass an int for single-layer sampling"
+                    )
                 rays_idx = select(rng, weights, int(num_rays))
             else:
                 layer_keys = jax.random.split(rng, weights.shape[1])
@@ -178,7 +190,7 @@ class _RaySampler:
             max_depth,
             n_pts,
             stratified,
-            rng=rng,
+            rng=depth_rng,
             sample_in_disparity=self.sample_in_disparity,
             scene_aabb=self.scene_aabb,
             occupancy=self.occupancy,

@@ -43,6 +43,16 @@ from .vis import AsyncVisWriter, RunType, vis_batch_img
 LOG_HEADER = "{}\tEpoch:\t[{}]"
 
 
+def _sync_fetch(x) -> None:
+    """Device sync via a VALUE FETCH: block_until_ready does not
+    synchronize through the axon device tunnel (CLAUDE.md), which would
+    truncate profiler traces and corrupt step timings. Fetching one
+    element forces completion of everything ``x`` depends on."""
+    if x is None:
+        return
+    np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+
+
 def _get_logger(config):
     log_level = logging.DEBUG if config.get("debug", None) else logging.INFO
     log_file = osp.join(config["output_dir"], "run.log") if config.get("output_dir") else None
@@ -451,7 +461,7 @@ def train_one_epoch(
         state, preds = step_fn(state, batch, rng)
 
         if profiling and i >= profile_start + profile_len - 1:
-            jax.block_until_ready(preds.get("objective"))
+            _sync_fetch(preds.get("objective"))
             jax.profiler.stop_trace()
             profiling = False
             profile_dir = None
@@ -461,7 +471,7 @@ def train_one_epoch(
                 preds = hook(outputs=preds, config=config, iter=passed_iter, epoch=epoch)
 
         if passed_iter % print_per_iter == 0:
-            jax.block_until_ready(preds.get("objective"))
+            _sync_fetch(preds.get("objective"))
             times["inference"] = timer.since_last_check()
             if lr_schedule is not None:
                 logger.info(f"{header}\tlr: {float(lr_schedule(passed_iter)):.3e}.")
@@ -480,6 +490,14 @@ def train_one_epoch(
 
         passed_iter += 1
         timer.since_last_check()
+
+    if profiling:
+        # epoch ended (or preemption broke the loop) inside the profiled
+        # window: close the trace so it is written and a later start_trace
+        # cannot raise on an already-active session
+        _sync_fetch(preds.get("objective"))
+        jax.profiler.stop_trace()
+        logger.info(f"Wrote profiler trace to {config.get('profile_dir')} (epoch-end stop)")
 
     return state, create_stats(preds)
 
@@ -514,7 +532,7 @@ def eval_one_epoch(
         for hook in hooks:
             if isinstance(hook, EvalOutputsHook):
                 preds = hook(outputs=preds, config=config, iter=i, epoch=epoch)
-        jax.block_until_ready(preds.get("objective", preds.get("rendered_images")))
+        _sync_fetch(preds.get("objective", preds.get("rendered_images")))
         times["inference"] = timer.since_last_check()
 
         for key, value in preds.items():
