@@ -377,10 +377,12 @@ def train(
             # Emergency resumable checkpoint: saved as epoch-1 so resume
             # re-enters the interrupted epoch with the mid-epoch TrainState
             # (params/opt_state/step all continue exactly).
+            # ALL ranks call save: orbax's save starts with a global
+            # process sync, so a main-only call deadlocks multi-host runs
+            path = save_checkpoint(
+                runner_config["output_dir"], state, epoch=epoch - 1, name="ckpts_preempt"
+            )
             if is_main_process():
-                path = save_checkpoint(
-                    runner_config["output_dir"], state, epoch=epoch - 1, name="ckpts_preempt"
-                )
                 logger.info(
                     f"Preemption: saved emergency checkpoint to {path} (mid-epoch {epoch}); "
                     "re-run the same command with --auto_resume to continue losslessly"
@@ -402,24 +404,32 @@ def train(
             if is_main_process():
                 with open(osp.join(runner_config["output_dir"], "val_stats.json"), "a") as f:
                     f.write(json.dumps({"epoch": epoch, **{f"val_{k}": v for k, v in val_stats.items()}}) + "\n")
-                current_metric = val_stats.get(MONITOR_METRIC_NAME, None)
-                if current_metric is None:
+            # the best-model decision runs on EVERY rank (val_stats are
+            # globally gathered, so it is identical everywhere) because the
+            # orbax save below must be entered by all hosts — a main-only
+            # save deadlocks in its opening global sync
+            current_metric = val_stats.get(MONITOR_METRIC_NAME, None)
+            if current_metric is None:
+                if is_main_process():
                     logger.warning(f'Monitor metric "{MONITOR_METRIC_NAME}" not found in {list(val_stats)}')
-                elif compare_metric(best_metric, current_metric):
+            elif compare_metric(best_metric, current_metric):
+                if is_main_process():
                     logger.info(f"Monitor Metric: {best_metric} -> {current_metric}.")
-                    best_metric = current_metric
-                    save_checkpoint(runner_config["output_dir"], state, epoch=-1, async_save=True)
+                best_metric = current_metric
+                save_checkpoint(runner_config["output_dir"], state, epoch=-1, async_save=True)
+                if is_main_process():
                     logger.info("Save Best Model to Epoch: -1")
             barrier("val")
 
-        if is_main_process() and (epoch + 1) % runner_config["save_per_epoch"] == 0:
+        if (epoch + 1) % runner_config["save_per_epoch"] == 0:
             save_checkpoint(runner_config["output_dir"], state, epoch=epoch, async_save=True)
-            logger.info(f"Save Model at Epoch: {epoch}")
+            if is_main_process():
+                logger.info(f"Save Model at Epoch: {epoch}")
         barrier("epoch")
 
     if is_main_process():
         logger.info(f"Training time: {datetime.timedelta(seconds=int(timer.since_start()))}")
-        save_checkpoint(runner_config["output_dir"], state, epoch=runner_config["num_epochs"] - 1)
+    save_checkpoint(runner_config["output_dir"], state, epoch=runner_config["num_epochs"] - 1)
     return state
 
 

@@ -60,8 +60,10 @@ class BlenderDataset:
         if debug:
             scale_down = 32
             logger.info(f"[DEBUG] scale_down {height}x{width} -> {height // scale_down}x{width // scale_down}")
-        if scale_down < 0 or not isinstance(scale_down, (int, float)):
-            raise TypeError(f"Invalid scale_down: {scale_down!r}.")
+        # isinstance FIRST (a str would crash the `<=` itself), and 0 is as
+        # invalid as negative (it would ZeroDivisionError downstream)
+        if not isinstance(scale_down, (int, float)) or scale_down <= 0:
+            raise TypeError(f"Invalid scale_down: {scale_down!r} (want a number > 0).")
 
         self.H = int(height // scale_down)
         self.W = int(width // scale_down)

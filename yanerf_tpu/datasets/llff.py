@@ -219,7 +219,16 @@ class LLFFDataset:
         if split in ("val", "test"):
             sel = i_test
         else:
-            sel = np.array([i for i in range(len(imgfiles)) if i not in set(i_test.tolist())])
+            # explicit int dtype: an empty list would default to float64 and
+            # poses[sel] would raise an opaque non-integer-index error
+            sel = np.array(
+                [i for i in range(len(imgfiles)) if i not in set(i_test.tolist())], dtype=np.int64
+            )
+            if sel.size == 0:
+                raise ValueError(
+                    f"LLFF train split is empty: test_skip holds out every one of the "
+                    f"{len(imgfiles)} images — use test_skip > 1"
+                )
         self.poses = poses[sel]
         self.imgfiles = imgfiles[sel]
         self.bds = bds[sel]

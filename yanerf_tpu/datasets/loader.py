@@ -124,6 +124,7 @@ class DataLoader:
         self.num_workers = max(0, num_workers)
         self.prefetch_depth = max(1, prefetch_depth)
         self.collate_fn = collate_fn or stack_batch
+        self._pool = None  # lazy ThreadPoolExecutor for num_workers > 1
 
     @property
     def data_wrapper(self):
@@ -151,7 +152,18 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def _load_batch(self, idx_chunk: np.ndarray):
-        return self.collate_fn([self.dataset[int(i)] for i in idx_chunk])
+        # num_workers > 1 fans the per-item loads (image decode releases
+        # the GIL in the native decoder) across a thread pool; batch order
+        # is preserved by executor.map
+        if self.num_workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            items = list(self._pool.map(self.dataset.__getitem__, (int(i) for i in idx_chunk)))
+        else:
+            items = [self.dataset[int(i)] for i in idx_chunk]
+        return self.collate_fn(items)
 
     def __iter__(self) -> Iterator[tuple]:
         batches = self._batch_indices()
@@ -163,15 +175,28 @@ class DataLoader:
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # a bare put() on the bounded queue would block forever if the
+            # consumer abandons iteration while the queue is full (the
+            # finally-block's stop.set() cannot unblock it) — poll instead
+            while not stop.is_set():
+                try:
+                    out_queue.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def _producer():
             try:
                 for chunk in batches:
                     if stop.is_set():
                         return
-                    out_queue.put(("ok", self._load_batch(chunk)))
-                out_queue.put(("done", None))
+                    if not _put(("ok", self._load_batch(chunk))):
+                        return
+                _put(("done", None))
             except Exception as exc:  # propagate loader errors to the consumer
-                out_queue.put(("err", exc))
+                _put(("err", exc))
 
         worker = threading.Thread(target=_producer, daemon=True)
         worker.start()
@@ -308,6 +333,12 @@ class DeviceCachedLoader:
     def _ensure_cache(self) -> bool:
         if self._fits is not None:
             return self._fits
+        # a custom collate_fn defines its own batch structure; caching
+        # hard-codes stack_batch semantics, so fall back transparently
+        # rather than silently yielding a different batch format
+        if self.inner.collate_fn is not stack_batch:
+            self._fits = False
+            return False
         # estimate from the ACTUAL quantization outcome on a probe item: a
         # field whose k/255 exactness check fails stays f32, so assuming a
         # blanket 4x shrink could blow past max_bytes/HBM (ADVICE r3)
@@ -323,7 +354,25 @@ class DeviceCachedLoader:
         import jax
 
         items = [self.dataset[i] for i in range(len(self.dataset))]
-        stacked = tuple(self._maybe_quantize(f) for f in stack_batch(items))
+        n_fields = len(items[0])
+        stacked = []
+        for fi in range(n_fields):
+            vals = [it[fi] for it in items]
+            if isinstance(vals[0], np.ndarray):
+                # quantize PER ITEM before stacking: the whole-dataset
+                # round-trip compare made ~3 dataset-sized f32 temporaries;
+                # per-item bounds the transient to one item, and the stack
+                # is u8-sized when every item quantized
+                q = [self._maybe_quantize(v) for v in vals]
+                if not all(a.dtype == q[0].dtype for a in q):
+                    q = vals  # mixed outcome: keep the lossless f32 field
+                stacked.append(np.stack(q, axis=0))
+            else:
+                # non-array fields keep PER-ITEM values; __iter__ applies
+                # stack_batch's semantics per chunk (a dataset-wide
+                # stack_batch would e.g. turn a per-item float into one
+                # global mean served for every batch)
+                stacked.append(("itemlist", vals))
         # re-check the real post-quantization total (items can differ from
         # the probe) before committing device memory
         total = sum(f.nbytes for f in stacked if isinstance(f, np.ndarray))
@@ -346,12 +395,19 @@ class DeviceCachedLoader:
             indices = self.sampler.indices()
         else:
             indices = np.arange(len(self.dataset))
+            if self.inner.is_train:
+                # match the wrapped loader: training epochs reshuffle
+                indices = np.random.permutation(indices)
         for start in range(0, len(indices), self.batch_size):
             chunk = indices[start : start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 continue
             idx = jnp.asarray(chunk)
-            yield tuple(
-                decode_cached_field(f[idx]) if hasattr(f, "shape") else f
-                for f in self._arrays
-            )
+            out = []
+            for f in self._arrays:
+                if isinstance(f, tuple) and len(f) == 2 and f[0] == "itemlist":
+                    vals = f[1]
+                    out.append(stack_batch([(vals[int(i)],) for i in chunk])[0])
+                else:
+                    out.append(decode_cached_field(f[idx]))
+            yield tuple(out)

@@ -36,6 +36,15 @@ def init_distributed_mode(coordinator_address: Optional[str] = None) -> bool:
     if world_size is None or world_size <= 1:
         return False
 
+    if coordinator_address is None:
+        # the env:// convention this function mirrors: torchrun-style
+        # launchers export MASTER_ADDR/MASTER_PORT alongside RANK/
+        # WORLD_SIZE. Without it jax.distributed.initialize would require
+        # cluster auto-detection (SLURM/TPU metadata) and crash elsewhere.
+        master_addr = os.environ.get("MASTER_ADDR")
+        if master_addr:
+            coordinator_address = f"{master_addr}:{os.environ.get('MASTER_PORT', '12355')}"
+
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=world_size,

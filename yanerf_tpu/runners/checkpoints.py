@@ -59,6 +59,11 @@ def save_checkpoint(
 ) -> Path:
     """Save params/opt_state/epoch under ``{output_dir}/ckpts/ckpts_{epoch:04d}``.
 
+    MULTI-HOST CONTRACT: when ``jax.process_count() > 1`` this must be
+    called by EVERY process (orbax's save opens with a global process
+    sync; a main-only call deadlocks the pod). Orbax coordinates who
+    writes what internally.
+
     With ``async_save`` the device->host fetch happens now but the disk
     commit overlaps with subsequent training steps (orbax AsyncCheckpointer);
     call :func:`wait_for_async_saves` before reading it back or exiting.
