@@ -39,10 +39,20 @@ def build_render_fn(config, checkpoint=None, seed=0):
     pipeline = PIPELINES.build(config.pipeline)
     params = pipeline.init(jax.random.PRNGKey(seed))
     if checkpoint:
-        from yanerf_tpu.runners import create_optimizer, create_train_state, load_checkpoint
+        # optimizer-free restore (serve.py/render.py pattern): export only
+        # needs params, so no runner section / stored opt_state required,
+        # and reference .pth checkpoints import directly
+        if str(checkpoint).endswith(".pth"):
+            from yanerf_tpu.runners.checkpoints import import_torch_checkpoint
 
-        state = create_train_state(params, create_optimizer(config.runner))
-        params = load_checkpoint(checkpoint, state)["state"].params
+            params, _ = import_torch_checkpoint(checkpoint, params)
+        else:
+            import jax.numpy as jnp
+
+            from yanerf_tpu.runners import load_checkpoint
+
+            restored = load_checkpoint(checkpoint)
+            params = jax.tree_util.tree_map(jnp.asarray, restored["restored"]["params"])
 
     rng = jax.random.PRNGKey(0)  # eval path is deterministic (det inverse CDF)
 

@@ -266,6 +266,9 @@ def make_handler(service: RenderService):
                     {
                         "image_hw": list(service.image_hw),
                         "default_focal": service.default_focal,
+                        "default_focal_source": getattr(
+                            service, "focal_source", "blender_synthetic_assumption"
+                        ),
                         "default_bounds": [
                             None if b is None else float(b) for b in service.default_bounds
                         ],
@@ -349,13 +352,34 @@ def service_from_config(cfg, checkpoint: str | None, device: str = "tpu") -> Ren
             params = jax.tree_util.tree_map(jnp.asarray, restored["restored"]["params"])
 
     rs = cfg.pipeline.ray_sampler
-    # lego-class default focal from the standard blender intrinsic when the
-    # config doesn't pin one: focal = W / (2 tan(camera_angle_x / 2))
-    default_focal = rs.image_width / (2.0 * np.tan(0.6911112070083618 / 2.0))
+    # default focal resolution order: an explicit serving override in the
+    # config (serve.default_focal), else the dataset's camera_angle_x if
+    # the config records one, else the standard blender-synthetic intrinsic
+    # (0.6911 rad) — which is WRONG for non-blender scenes, so /spec labels
+    # the source and real deployments should pass ?focal= or the override.
+    default_focal = None
+    focal_source = "config:serve.default_focal"
+    serve_cfg = cfg.get("serve", {}) or {}
+    if serve_cfg.get("default_focal"):
+        default_focal = float(serve_cfg["default_focal"])
+    if default_focal is None:
+        for ds_key in ("data", "dataset", "datasets"):
+            ds = cfg.get(ds_key)
+            if isinstance(ds, (list, tuple)):
+                ds = ds[0] if ds else None
+            if ds and ds.get("camera_angle_x"):
+                default_focal = rs.image_width / (2.0 * np.tan(float(ds["camera_angle_x"]) / 2.0))
+                focal_source = f"config:{ds_key}.camera_angle_x"
+                break
+    if default_focal is None:
+        default_focal = rs.image_width / (2.0 * np.tan(0.6911112070083618 / 2.0))
+        focal_source = "blender_synthetic_assumption"
     bounds = (rs.get("min_depth"), rs.get("max_depth"))
-    return RenderService(
+    service = RenderService(
         pipeline, params, default_focal, (rs.image_height, rs.image_width), bounds
     )
+    service.focal_source = focal_source
+    return service
 
 
 def main():

@@ -199,3 +199,51 @@ def test_fileio_backend_registry_complete():
     # Optional backends fail with a clear ImportError, not at dispatch time.
     with pytest.raises(ImportError, match="ceph"):
         FileClient("ceph")
+
+
+def test_registry_unknown_scope_returns_none_and_bare_decorator_registers():
+    from yanerf_tpu.utils.registry import Registry
+
+    root = Registry("widgets", scope="yanerf_tpu")
+    # unknown scope prefix at the ROOT registry must not recurse forever
+    assert root.get("no_such_scope.Foo") is None
+
+    reg = Registry("gadgets")
+
+    @reg.register_module  # bare-decorator slip (no parentheses)
+    class Gadget:
+        pass
+
+    assert reg.get("Gadget") is Gadget
+    assert Gadget.__name__ == "Gadget"  # symbol still the class, not a closure
+
+
+def test_dict_action_bracketed_bare_words_and_merge_edges():
+    from yanerf_tpu.utils.config import Config, DictAction
+
+    assert DictAction._parse_value("[train,val]") == ["train", "val"]
+    assert DictAction._parse_value("[train]") == ["train"]
+    assert DictAction._parse_value("[(a,b),(c,d)]") == [("a", "b"), ("c", "d")]
+    assert DictAction._parse_value("[1,2.5,true]") == [1, 2.5, True]
+
+    # tuple element override (py configs preserve tuples)
+    cfg = Config(dict(milestones=(100, 200)))
+    cfg.merge_from_dict({"milestones.0": 50})
+    assert list(cfg.milestones) == [50, 200]
+
+    # non-integer key into a list: clean error, not AttributeError
+    cfg2 = Config(dict(datasets=[dict(split="train")]))
+    with pytest.raises(KeyError, match="non-integer"):
+        cfg2.merge_from_dict({"datasets.foo.bar": 1})
+
+
+def test_fileio_dump_routes_through_backend_dispatch(tmp_path):
+    """dump() must dispatch writes like load() dispatches reads: read-only
+    backends give a clear unsupported error, disk writes still work."""
+    from yanerf_tpu.utils.fileio import dump, load
+
+    path = str(tmp_path / "x.json")
+    dump({"a": 1}, path)
+    assert load(path) == {"a": 1}
+    with pytest.raises(NotImplementedError, match="does not support writing"):
+        dump({"a": 1}, "http://localhost:1/x.json")

@@ -231,6 +231,9 @@ int yanerf_decode_image(const char* path, float* out, int h, int w) {
 // (n, h, w, 3) float32 buffer. Returns the first error code or 0.
 int yanerf_decode_batch(const char** paths, int n, float* outs, int h, int w, int n_threads) {
   if (n_threads <= 0) n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  // hardware_concurrency() may legally return 0 (unknown); zero workers
+  // would "succeed" with a fully uninitialized output buffer
+  if (n_threads <= 0) n_threads = 1;
   if (n_threads > n) n_threads = n;
   std::vector<int> status(n, kOk);
   std::vector<std::thread> workers;

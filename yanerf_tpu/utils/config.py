@@ -381,19 +381,28 @@ class Config:
 
         def _merge(node, target):
             for key, value in node.items():
-                if allow_list_keys and isinstance(target, (list, tuple)) and key.isdigit():
+                if isinstance(target, (list, tuple)):
+                    if not (allow_list_keys and key.isdigit()):
+                        raise KeyError(f"Cannot set non-integer key {key!r} on a list")
                     idx = int(key)
                     if idx >= len(target):
                         raise KeyError(f"Index {idx} exceeds list length {len(target)}")
-                    if isinstance(value, dict):
+                    if isinstance(value, dict) and isinstance(target[idx], (dict, list, tuple)):
+                        if isinstance(target[idx], tuple):
+                            target[idx] = list(target[idx])  # tuples are immutable
                         _merge(value, target[idx])
                     else:
                         target[idx] = value
-                elif isinstance(value, dict) and isinstance(target.get(key), (dict, list, tuple)):
-                    _merge(value, target[key])
+                    continue
+                existing = target.get(key)
+                if isinstance(value, dict) and isinstance(existing, (dict, list, tuple)):
+                    if isinstance(existing, tuple):
+                        # .py configs keep tuples; element overrides need a
+                        # mutable container (the merged field becomes a list)
+                        target[key] = list(existing)
+                        existing = target[key]
+                    _merge(value, existing)
                 else:
-                    if isinstance(target, (list, tuple)):
-                        raise KeyError(f"Cannot set non-integer key {key} on a list")
                     target[key] = value
 
         _merge(nested, self._cfg_dict)
@@ -448,7 +457,14 @@ class DictAction(argparse.Action):
             try:
                 return ast.literal_eval(value)
             except (ValueError, SyntaxError):
-                pass
+                # bare words aren't python literals ("[train,val]"): strip
+                # the brackets and parse elementwise, else the override
+                # would silently apply as the literal bracketed string
+                if value.endswith("]") if value[0] == "[" else value.endswith(")"):
+                    items = [
+                        DictAction._parse_value(v) for v in _split_top_level(value[1:-1])
+                    ]
+                    return tuple(items) if value[0] == "(" else items
         if "," in value:
             return [DictAction._parse_scalar(v) for v in _split_top_level(value)]
         return DictAction._parse_scalar(value)

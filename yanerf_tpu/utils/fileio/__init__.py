@@ -64,7 +64,18 @@ def dump(obj: Any, file: Union[str, Path, io.IOBase, None] = None, file_format: 
     if file is None:
         return handler.dump_to_str(obj, **kwargs)
     if isinstance(file, str):
-        handler.dump_to_path(obj, file, **kwargs)
+        # route through the storage-backend dispatch symmetrically with
+        # load(): a remote URI (http, petrel, ...) must hit its backend's
+        # put(), not a local open()
+        client = FileClient.infer_client(file)
+        if client.backend_name == "disk":
+            handler.dump_to_path(obj, file, **kwargs)
+        else:
+            data = handler.dump_to_str(obj, **kwargs)
+            if handler.str_like:
+                client.put_text(data, file)
+            else:
+                client.put(data, file)
         return None
     if hasattr(file, "write"):
         handler.dump_to_fileobj(obj, file, **kwargs)

@@ -25,6 +25,14 @@ class BaseStorageBackend(metaclass=ABCMeta):
     def get_text(self, filepath: str, encoding: str = "utf-8") -> str:
         ...
 
+    # writes are optional per backend (HTTP is read-only); a clear error
+    # beats the AttributeError a missing method would raise from dump()
+    def put(self, obj: bytes, filepath) -> None:
+        raise NotImplementedError(f"{type(self).__name__} does not support writing")
+
+    def put_text(self, obj: str, filepath, encoding: str = "utf-8") -> None:
+        raise NotImplementedError(f"{type(self).__name__} does not support writing")
+
 
 class HardDiskBackend(BaseStorageBackend):
     def get(self, filepath: Union[str, Path]) -> bytes:
@@ -204,3 +212,9 @@ class FileClient:
 
     def get_text(self, filepath, encoding: str = "utf-8") -> str:
         return self.client.get_text(filepath, encoding)
+
+    def put(self, obj: bytes, filepath) -> None:
+        return self.client.put(obj, filepath)
+
+    def put_text(self, obj: str, filepath, encoding: str = "utf-8") -> None:
+        return self.client.put_text(obj, filepath, encoding)

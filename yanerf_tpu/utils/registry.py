@@ -118,7 +118,10 @@ class Registry:
             root = self
             while root.parent is not None:
                 root = root.parent
-            return root.get(key)
+            if root is not self:
+                return root.get(key)
+            # already at the root and the scope is unknown: an unguarded
+            # root.get(key) would recurse into this same frame forever
         return None
 
     def build(self, cfg: dict, **default_args) -> Any:
@@ -139,6 +142,15 @@ class Registry:
         if module is not None:
             self._register(module, module_name=name, force=force)
             return module
+
+        # bare-decorator slip: @REG.register_module (no parentheses) passes
+        # the class as `name` — silently returning _decorator here would
+        # rebind the class symbol to a closure and register nothing
+        if name is not None and not isinstance(name, (str, list, tuple)):
+            if inspect.isclass(name) or inspect.isfunction(name):
+                self._register(name)
+                return name
+            raise TypeError(f"name must be a str/list of str, got {type(name)}")
 
         def _decorator(cls):
             self._register(cls, module_name=name, force=force)
