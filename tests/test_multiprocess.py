@@ -89,3 +89,70 @@ def test_two_process_gather_truncate_mean_and_barrier():
     for rank, (proc, (out, err)) in enumerate(zip(procs, outs)):
         assert proc.returncode == 0, f"rank {rank} failed:\n{out}\n{err[-4000:]}"
         assert f"MULTIPROC_OK rank={rank} mean=2.0" in out
+
+
+SAVE_WORKER = r"""
+import os
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import optax
+
+from yanerf_tpu.parallel.distributed import barrier, get_rank, init_distributed_mode
+
+assert init_distributed_mode(os.environ["COORD_ADDR"]) is True
+rank = get_rank()
+
+# import AFTER distributed init: the runners import chain initializes the
+# XLA backend, which must happen post-initialize in multi-process mode
+from yanerf_tpu.runners import create_train_state, load_checkpoint
+from yanerf_tpu.runners.checkpoints import save_checkpoint, wait_for_async_saves
+
+params = {"w": jnp.arange(4.0) + 1.0}
+state = create_train_state(params, optax.sgd(1e-2))
+# ALL ranks call save (the orbax multi-host contract: its save opens with
+# a global process sync — a main-only call deadlocks; this test hangs on
+# regression and is killed by the harness timeout)
+out_dir = os.environ["OUT_DIR"]
+save_checkpoint(out_dir, state, epoch=3)
+wait_for_async_saves()
+barrier("saved")
+# restore has the SAME all-hosts contract as save (orbax syncs globally
+# in Checkpointer.restore) — every rank loads, every rank verifies
+restored = load_checkpoint(os.path.join(out_dir, "ckpts", "ckpts_0003"))
+w = np.asarray(restored["restored"]["params"]["w"])
+assert np.allclose(w, [1, 2, 3, 4]), w
+barrier("done")
+print(f"SAVE_OK rank={rank}", flush=True)
+"""
+
+
+def test_two_process_checkpoint_save_all_ranks(tmp_path):
+    """save_checkpoint must complete when called by every rank under a real
+    2-process jax.distributed runtime (orbax syncs globally inside save;
+    main-only saving deadlocks — the regression this test pins)."""
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            RANK=str(rank),
+            WORLD_SIZE="2",
+            COORD_ADDR=f"localhost:{port}",
+            OUT_DIR=str(tmp_path),
+            PYTHONPATH=str(REPO) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", SAVE_WORKER],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=300) for p in procs]
+    for rank, (proc, (out, err)) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, f"rank {rank} failed:\n{out}\n{err[-4000:]}"
+        assert f"SAVE_OK rank={rank}" in out

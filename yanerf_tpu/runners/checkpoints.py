@@ -133,6 +133,11 @@ class PreemptionGuard:
 def load_checkpoint(path: Union[str, Path], state: Optional[TrainState] = None) -> Dict[str, Any]:
     """Restore a checkpoint; with ``state`` given, restores into its structure.
 
+    MULTI-HOST CONTRACT: like :func:`save_checkpoint`, every process must
+    call this when ``jax.process_count() > 1`` (orbax's restore opens with
+    a global process sync). Checkpoint paths must resolve identically on
+    every host (shared filesystem or mirrored copies).
+
     Returns ``{"state": TrainState, "epoch": int}``.
     """
     path = Path(path).resolve()
