@@ -76,6 +76,15 @@ def main():
             lo, hi = float(test_ds.bds.min()), float(test_ds.bds.max())
             bounds = [(lo, hi)] * len(poses)
     else:
+        if args.trajectory == "render_path":
+            # an explicit render_path request must not silently degrade —
+            # test frames look plausible enough to be mistaken for the path
+            print(
+                f"WARNING: {type(test_ds).__name__} has no render_poses "
+                "(LLFF spiral/spherify paths only); falling back to the "
+                "test split's cameras",
+                flush=True,
+            )
         items = [test_ds[i] for i in range(len(test_ds))]
         poses = np.stack([it[0][:3, :4] if it[0].shape[0] == 4 else it[0] for it in items])
         focals = np.stack([it[1] for it in items])

@@ -41,12 +41,23 @@ def create_mesh(
     if data_parallel is None and ray_parallel is None:
         data_parallel, ray_parallel = 1, n
     elif data_parallel is None:
+        if ray_parallel <= 0 or n % ray_parallel:
+            raise ValueError(f"ray_parallel={ray_parallel} must evenly divide {n} devices")
         data_parallel = n // ray_parallel
     elif ray_parallel is None:
+        if data_parallel <= 0 or n % data_parallel:
+            raise ValueError(f"data_parallel={data_parallel} must evenly divide {n} devices")
         ray_parallel = n // data_parallel
     total = data_parallel * ray_parallel
     if total > n:
         raise ValueError(f"mesh {data_parallel}x{ray_parallel} needs {total} devices, only {n} available")
+    if total < n:
+        # silently idling chips is how a "full machine" run quietly trains
+        # at a fraction of the hardware — make under-use explicit
+        raise ValueError(
+            f"mesh {data_parallel}x{ray_parallel} uses {total} of {n} devices; "
+            "size the axes to cover the machine (or pass an explicit devices subset)"
+        )
     dev_array = np.asarray(devices[:total]).reshape(data_parallel, ray_parallel)
     return Mesh(dev_array, (DATA_AXIS, RAY_AXIS))
 

@@ -33,6 +33,7 @@ from yanerf_tpu.parallel.distributed import concat_all_gather, get_rank, get_wor
 from yanerf_tpu.parallel.mesh import DATA_AXIS
 from yanerf_tpu.parallel.sharding import mesh_context
 from yanerf_tpu.utils.logging import get_logger
+from yanerf_tpu.utils.profiling import annotate
 from yanerf_tpu.utils.timer import Timer
 
 from .hooks import EvalDataHook, EvalOutputsHook, TrainDataHook, TrainOutputsHook
@@ -347,7 +348,8 @@ def _train_one_epoch_fused(
                         f"(seen: {sorted(seen_group_sizes)}) — compiling a fresh K-step program"
                     )
             idx = jnp.asarray(np.stack(rows[i:j]))
-            state, hist = train_step_fused(state, arrays, idx, rng)
+            with annotate(f"fused_dispatch_K{j - i}"):
+                state, hist = train_step_fused(state, arrays, idx, rng)
             last_losses = {k: v[-1] for k, v in hist.items()}
 
         if profiling:
@@ -458,7 +460,8 @@ def train_one_epoch(
             and passed_iter % config["val_per_iter"] == 0
         )
         step_fn = train_step_vis if want_vis else train_step
-        state, preds = step_fn(state, batch, rng)
+        with annotate("train_step_dispatch"):
+            state, preds = step_fn(state, batch, rng)
 
         if profiling and i >= profile_start + profile_len - 1:
             _sync_fetch(preds.get("objective"))

@@ -108,6 +108,10 @@ class AsyncVisWriter:
         # keep only the image-like entries so the queue doesn't pin the
         # whole preds dict (params/aux) in memory while frames are pending
         subset = {k: v for k, v in preds.items() if any(k.startswith(p) for p in render_prefixes)}
+        # forward the SAME prefixes to vis_batch_img — otherwise it
+        # re-filters the subset with its own defaults and a caller asking
+        # for e.g. ("depth_",) silently writes zero frames
+        kwargs = dict(kwargs, render_prefixes=render_prefixes)
         self._queue.put(((subset, *args), kwargs))
 
     def close(self) -> None:

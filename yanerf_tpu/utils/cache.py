@@ -18,7 +18,24 @@ def enable_compilation_cache(cache_dir: str = "/tmp/yanerf_xla_cache") -> None:
     try:
         import jax
 
-        platform = jax.default_backend()
+        # partition WITHOUT initializing the backend: jax.default_backend()
+        # would eagerly create backends, and a later
+        # jax.distributed.initialize() (multi-host run.py) then raises
+        # "must be called before any JAX calls". The configured platform
+        # list is a plain string read — first entry wins, matching what
+        # default_backend() would resolve to in this environment.
+        platforms = jax.config.jax_platforms or ""
+        platform = platforms.split(",")[0].strip()
+        if not platform:
+            # platform unconfigured (autodetect): only query the backend if
+            # one already exists — never be the call that initializes it
+            try:
+                from jax._src import xla_bridge
+
+                already = xla_bridge.backends_are_initialized()
+            except Exception:
+                already = False
+            platform = jax.default_backend() if already else "default"
         cache_dir = os.path.join(cache_dir, platform)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
