@@ -40,7 +40,7 @@ def test_sigterm_saves_resumable_checkpoint(tmp_path):
     )
     out_dir = output_root / "version_0"
     log = out_dir / "run.log"
-    deadline = time.time() + 240
+    deadline = time.time() + 480  # generous: parallel suites can steal the CPUs during startup compile
     while time.time() < deadline:
         if log.exists() and "iter: 2" in log.read_text():
             break
@@ -50,7 +50,7 @@ def test_sigterm_saves_resumable_checkpoint(tmp_path):
         pytest.fail("training never reached iter 2")
 
     proc.send_signal(signal.SIGTERM)
-    stdout, _ = proc.communicate(timeout=240)
+    stdout, _ = proc.communicate(timeout=480)
     assert proc.returncode == 0, f"expected clean exit, got {proc.returncode}:\n{stdout[-4000:]}"
 
     log_text = log.read_text()
