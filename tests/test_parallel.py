@@ -270,3 +270,22 @@ def test_sharded_eval_with_occupancy_matches_unsharded(tmp_path):
         np.asarray(preds1["rendered_images"]), np.asarray(preds2["rendered_images"]),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_mesh_sizing_semantics():
+    """Explicit sub-machine meshes are honored (debug/test runs); partial
+    specs must cover the machine; oversubscription always errors."""
+    # both axes pinned: a 1x1 mesh on an 8-device host is legitimate
+    mesh = create_mesh(data_parallel=1, ray_parallel=1)
+    assert mesh.devices.shape == (1, 1)
+    mesh = create_mesh(data_parallel=1, ray_parallel=4)
+    assert mesh.devices.shape == (1, 4)
+    # one axis given: the other auto-sizes to cover all devices
+    mesh = create_mesh(ray_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+    # non-divisible partial spec errors
+    with pytest.raises(ValueError, match="evenly divide"):
+        create_mesh(ray_parallel=3)
+    # oversubscription errors
+    with pytest.raises(ValueError, match="only 8 available"):
+        create_mesh(data_parallel=3, ray_parallel=4)

@@ -38,6 +38,7 @@ def create_mesh(
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    both_explicit = data_parallel is not None and ray_parallel is not None
     if data_parallel is None and ray_parallel is None:
         data_parallel, ray_parallel = 1, n
     elif data_parallel is None:
@@ -52,11 +53,20 @@ def create_mesh(
     if total > n:
         raise ValueError(f"mesh {data_parallel}x{ray_parallel} needs {total} devices, only {n} available")
     if total < n:
-        # silently idling chips is how a "full machine" run quietly trains
-        # at a fraction of the hardware — make under-use explicit
-        raise ValueError(
-            f"mesh {data_parallel}x{ray_parallel} uses {total} of {n} devices; "
-            "size the axes to cover the machine (or pass an explicit devices subset)"
+        if not both_explicit:
+            # an auto-sized axis quietly idling chips is how a "full
+            # machine" run trains at a fraction of the hardware
+            raise ValueError(
+                f"mesh {data_parallel}x{ray_parallel} uses {total} of {n} devices; "
+                "size the axes to cover the machine (or pass an explicit devices subset)"
+            )
+        # both axes pinned by the user (debug runs / tests legitimately ask
+        # for a sub-machine mesh) — honor it, but never silently
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh %dx%d uses only %d of %d devices; the remaining %d idle",
+            data_parallel, ray_parallel, total, n, n - total,
         )
     dev_array = np.asarray(devices[:total]).reshape(data_parallel, ray_parallel)
     return Mesh(dev_array, (DATA_AXIS, RAY_AXIS))
