@@ -69,8 +69,11 @@ def _table_lookup_fwd(table, flat_idx):
 # compiler OOM, docs/performance.md "Hash-grid encodings on TPU"); the scan
 # body compiles ONCE at (_BWD_SCAN_CHUNK,) regardless of how many updates
 # stream through it, so compile cost is shape-independent. Override via
-# YANERF_HASHGRID_BWD_SCAN_THRESHOLD (0 = always scan).
-_BWD_SCAN_CHUNK = 1 << 15
+# YANERF_HASHGRID_BWD_SCAN_THRESHOLD (0 = always scan). The chunk size
+# trades scan trip count (serial scatters) against per-scatter lowering
+# size (what crashes the remote compile helper) — sweepable via
+# YANERF_HASHGRID_BWD_SCAN_CHUNK.
+_BWD_SCAN_CHUNK = int(os.environ.get("YANERF_HASHGRID_BWD_SCAN_CHUNK", str(1 << 15)))
 _BWD_SCAN_THRESHOLD = int(os.environ.get("YANERF_HASHGRID_BWD_SCAN_THRESHOLD", str(1 << 18)))
 
 
