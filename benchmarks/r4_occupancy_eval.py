@@ -52,7 +52,7 @@ def read_record():
     return {"checkpoint": str(CKPT_RUN), "aabb": AABB, "runs": {}, "fps": {}}
 
 
-def fps_arm(budget, occupancy_path, bf16_compositing=False):
+def fps_arm(budget, occupancy_path, bf16_compositing=False, occ_mode="exact"):
     """Child mode: print one JSON line with pipelined render fps."""
     import numpy as np
 
@@ -76,9 +76,20 @@ def fps_arm(budget, occupancy_path, bf16_compositing=False):
     for half in sampler._raysamplers.values():
         half.scene_aabb = np.asarray(AABB, np.float32).reshape(2, 3)
     if occupancy_path:
-        from yanerf_tpu.ops.occupancy import load_occupancy
+        from yanerf_tpu.ops.occupancy import (
+            OccupancyBoundsSpec,
+            coarsen_occupancy,
+            load_occupancy,
+        )
 
         occ = load_occupancy(occupancy_path)
+        if occ_mode == "fast":
+            # the round-4 cheap formulation (sampler defaults): coarse-to-
+            # fine grids + block-2 eval-ray decimation, ~5x fewer gathers
+            occ = OccupancyBoundsSpec(
+                grid=occ, coarse=coarsen_occupancy(occ, 4),
+                n_probe=64, n_probe_coarse=32, block=2,
+            )
         sampler._raysamplers[EvaluationMode.EVALUATION].occupancy = occ
 
     poses_np, focals_np, _ = _example_batch(1, 800)
@@ -114,10 +125,11 @@ def main():
     parser.add_argument("--fps_arm", default=None, help="internal: 'p0,p1,pf'")
     parser.add_argument("--occupancy", default="", help="internal: occupancy npz or ''")
     parser.add_argument("--bf16_compositing", action="store_true")
+    parser.add_argument("--occ_mode", default="exact", choices=("exact", "fast"))
     args = parser.parse_args()
     if args.fps_arm:
         fps_arm(tuple(int(x) for x in args.fps_arm.split(",")), args.occupancy or None,
-                bf16_compositing=args.bf16_compositing)
+                bf16_compositing=args.bf16_compositing, occ_mode=args.occ_mode)
         return
 
     WORK.mkdir(parents=True, exist_ok=True)
@@ -204,21 +216,33 @@ def main():
             "pipeline.ray_sampler.scene_aabb=" + json.dumps(AABB),
         ]
 
-    # 2. PSNR at each budget x {aabb-only baseline, aabb + occupancy}
-    for p0, p1, pf in BUDGETS:
-        for use_occ in (False, True):
-            key = f"{p0}-{p1}-{pf}" + ("_occ" if use_occ else "_aabb")
-            opts = budget_opts(p0, p1, pf)
-            if use_occ:
-                opts.append(f"pipeline.ray_sampler.occupancy_grid={OCC_NPZ}")
-            run_test_only(key, opts, {"budget": f"{p0}-{p1}-{pf}", "occupancy": use_occ})
+    # arms: aabb-only baseline, aabb + exact occupancy (the original
+    # single-stage 128-probe march), aabb + fast occupancy (the round-4
+    # coarse-to-fine + block-2 decimated formulation, sampler defaults)
+    occ_exact_opts = [
+        f"pipeline.ray_sampler.occupancy_grid={OCC_NPZ}",
+        "pipeline.ray_sampler.occupancy_coarse_factor=1",
+        "pipeline.ray_sampler.occupancy_block=1",
+    ]
+    occ_fast_opts = [f"pipeline.ray_sampler.occupancy_grid={OCC_NPZ}"]
+    ARMS = (("_aabb", []), ("_occ", occ_exact_opts), ("_occfast", occ_fast_opts))
 
-    # 3. fps at each budget x {off, on} (subprocess per arm)
+    # 2. PSNR at each budget x arm
     for p0, p1, pf in BUDGETS:
-        for use_occ in (False, True):
-            key = f"{p0}-{p1}-{pf}" + ("_occ" if use_occ else "_aabb")
-            run_fps(key, ["--fps_arm", f"{p0},{p1},{pf}",
-                          "--occupancy", str(OCC_NPZ) if use_occ else ""])
+        for suffix, extra in ARMS:
+            key = f"{p0}-{p1}-{pf}{suffix}"
+            run_test_only(key, budget_opts(p0, p1, pf) + extra,
+                          {"budget": f"{p0}-{p1}-{pf}", "occupancy": suffix.lstrip("_")})
+
+    # 3. fps at each budget x arm (subprocess per arm)
+    for p0, p1, pf in BUDGETS:
+        for suffix, _ in ARMS:
+            key = f"{p0}-{p1}-{pf}{suffix}"
+            argv = ["--fps_arm", f"{p0},{p1},{pf}",
+                    "--occupancy", str(OCC_NPZ) if suffix != "_aabb" else ""]
+            if suffix == "_occfast":
+                argv += ["--occ_mode", "fast"]
+            run_fps(key, argv)
 
     # 3b. bf16 eval-compositing experiment at full budget (VERDICT r3 #3
     # "try bf16 eval compositing"): PSNR + fps vs the 64-64-32_aabb baseline
@@ -235,6 +259,7 @@ def main():
     for budget in BUDGETS:
         b = f"{budget[0]}-{budget[1]}-{budget[2]}"
         base, occ = record["runs"].get(b + "_aabb", {}), record["runs"].get(b + "_occ", {})
+        fast = record["runs"].get(b + "_occfast", {})
         if base.get("test_psnr") is not None and occ.get("test_psnr") is not None:
             record["summary"][b] = {
                 "aabb_psnr": round(base["test_psnr"], 3),
@@ -243,6 +268,9 @@ def main():
                 "aabb_fps": record["fps"].get(b + "_aabb"),
                 "occ_fps": record["fps"].get(b + "_occ"),
             }
+            if fast.get("test_psnr") is not None:
+                record["summary"][b]["occfast_psnr"] = round(fast["test_psnr"], 3)
+                record["summary"][b]["occfast_fps"] = record["fps"].get(b + "_occfast")
     OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
     log("OCCUPANCY EVAL DONE " + json.dumps(record["summary"]))
 

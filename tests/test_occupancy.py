@@ -15,9 +15,12 @@ import numpy as np
 import pytest
 
 from yanerf_tpu.ops.occupancy import (
+    OccupancyBoundsSpec,
     OccupancyGrid,
     build_occupancy_grid,
+    coarsen_occupancy,
     load_occupancy,
+    occupancy_bounds,
     occupancy_ray_bounds,
     query_occupancy,
     save_occupancy,
@@ -105,6 +108,103 @@ def test_build_dilate_and_roundtrip(tmp_path):
     loaded = load_occupancy(path)
     np.testing.assert_array_equal(loaded.grid, occ1.grid)
     np.testing.assert_allclose(loaded.aabb, occ1.aabb)
+
+
+def test_coarsen_occupancy_is_conservative():
+    # every point that queries occupied in the fine grid must also query
+    # occupied in the max-pooled+dilated coarse grid (coarse-empty =>
+    # fine-empty is what makes the two-stage march safe)
+    rng = np.random.default_rng(0)
+    res = 33  # non-multiple of the factor exercises the padding path
+    fine = OccupancyGrid(
+        grid=(rng.random((res, res, res)) < 0.03).astype(np.uint8),
+        aabb=np.asarray([[-2.0, -1.0, 0.0], [1.0, 2.0, 3.0]], np.float32),
+    )
+    coarse = coarsen_occupancy(fine, 4)
+    assert max(coarse.grid.shape) <= (res + 3) // 4
+    pts = rng.uniform(-2.5, 3.5, size=(4096, 3)).astype(np.float32)
+    hit_f = np.asarray(query_occupancy(jnp.asarray(fine.grid), jnp.asarray(fine.aabb), jnp.asarray(pts)))
+    hit_c = np.asarray(query_occupancy(jnp.asarray(coarse.grid), jnp.asarray(coarse.aabb), jnp.asarray(pts)))
+    assert not (hit_f & ~hit_c).any()
+    # and it is not trivially all-occupied
+    assert coarse.grid.mean() < 1.0
+
+
+def _slab_occ(res=32):
+    axis = np.linspace(-1.0, 1.0, res)
+    zz = np.broadcast_to(axis, (res, res, res))
+    grid = ((zz >= 0.2) & (zz <= 0.5)).astype(np.uint8)
+    return OccupancyGrid(grid=grid, aabb=np.asarray([[-1.0] * 3, [1.0] * 3], np.float32))
+
+
+def test_two_stage_bounds_bracket_content():
+    occ = _slab_occ()
+    spec = OccupancyBoundsSpec(
+        grid=occ, coarse=coarsen_occupancy(occ, 4), n_probe=64, n_probe_coarse=32, block=1
+    )
+    origins = jnp.asarray([[0.0, 0.0, -3.0], [5.0, 5.0, -3.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    t0, t1 = occupancy_bounds(origins, dirs, spec, 0.1, 10.0)
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    # slab spans t in [3.2, 3.5]; two-stage bounds must cover it and hug it
+    # (coarse voxel + coarse dilation + fine probe spacing of slack)
+    assert t0[0] <= 3.2 + 1e-5 and t1[0] >= 3.5 - 1e-5
+    assert t0[0] >= 2.0 and t1[0] <= 4.7
+    # missing ray collapses to the far plane
+    assert t0[1] == pytest.approx(10.0) and t1[1] == pytest.approx(10.0)
+
+
+def test_image_decimated_bounds_cover_exact_bounds():
+    # random blob scene; the block-decimated 3x3-union bounds must CONTAIN
+    # the exact per-ray march's occupied span for every full-res ray
+    rng = np.random.default_rng(1)
+    res = 48
+    density = np.zeros((res, res, res), np.float32)
+    for _ in range(6):
+        c = rng.integers(8, res - 8, size=3)
+        density[c[0] - 4 : c[0] + 4, c[1] - 4 : c[1] + 4, c[2] - 4 : c[2] + 4] = 10.0
+    occ = build_occupancy_grid(density, (-1.0, 1.0), threshold=5.0, dilate=1)
+    spec = OccupancyBoundsSpec(
+        grid=occ, coarse=coarsen_occupancy(occ, 4), n_probe=64, n_probe_coarse=24, block=2
+    )
+
+    h = w = 21  # odd size exercises the upsample crop
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dirs = np.stack(
+        [(jj - w / 2) / (w / 2) * 0.6, (ii - h / 2) / (h / 2) * 0.6, np.ones_like(ii, np.float32)],
+        axis=-1,
+    ).astype(np.float32)[None]
+    origins = np.broadcast_to(np.asarray([0.0, 0.0, -3.0], np.float32), dirs.shape).copy()
+    t_lo, t_hi = 0.5, 6.0
+
+    t0_f, t1_f = occupancy_bounds(jnp.asarray(origins), jnp.asarray(dirs), spec, t_lo, t_hi)
+    # exact reference: the single-stage fine march per full-res ray
+    t0_e, t1_e = occupancy_ray_bounds(
+        jnp.asarray(origins), jnp.asarray(dirs), occ, t_lo, t_hi, n_probe=256
+    )
+    t0_f, t1_f, t0_e, t1_e = map(np.asarray, (t0_f, t1_f, t0_e, t1_e))
+    hit = t1_e > t0_e + 1e-6  # rays whose exact march found content
+    # decimation slack: one fine probe spacing of the decimated march
+    slack = (t_hi - t_lo) / 64 + 1e-4
+    assert hit.any()
+    assert (t0_f[hit] <= t0_e[hit] + slack).all()
+    assert (t1_f[hit] >= t1_e[hit] - slack).all()
+    assert t0_f.shape == (1, h, w) and t1_f.shape == (1, h, w)
+
+
+def test_spec_full_grid_identity_matches_exact():
+    occ = OccupancyGrid(
+        grid=np.ones((8, 8, 8), np.uint8),
+        aabb=np.asarray([[-50.0] * 3, [50.0] * 3], np.float32),
+    )
+    spec = OccupancyBoundsSpec(grid=occ, coarse=coarsen_occupancy(occ, 4), block=2)
+    origins = jnp.zeros((1, 6, 6, 3)) + jnp.asarray([0.0, 0.0, -3.0])
+    dirs = jnp.concatenate(
+        [jnp.zeros((1, 6, 6, 2)), jnp.ones((1, 6, 6, 1))], axis=-1
+    )
+    t0, t1 = occupancy_bounds(origins, dirs, spec, 0.5, 7.5)
+    np.testing.assert_allclose(np.asarray(t0), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), 7.5, atol=1e-6)
 
 
 def test_sampler_occupancy_tightens_eval_lengths_only(tmp_path):

@@ -53,6 +53,22 @@ class OccupancyGrid(NamedTuple):
     aabb: Union[np.ndarray, jax.Array]
 
 
+def _dilate_binary(occ: np.ndarray, radius: int) -> np.ndarray:
+    """Binary max-pool (radius voxels, 6-neighborhood per step) of a 3D mask."""
+    occ = occ.astype(bool)
+    for _ in range(int(radius)):
+        grown = occ.copy()
+        for ax in range(3):
+            grown[tuple(slice(None, -1) if i == ax else slice(None) for i in range(3))] |= occ[
+                tuple(slice(1, None) if i == ax else slice(None) for i in range(3))
+            ]
+            grown[tuple(slice(1, None) if i == ax else slice(None) for i in range(3))] |= occ[
+                tuple(slice(None, -1) if i == ax else slice(None) for i in range(3))
+            ]
+        occ = grown
+    return occ
+
+
 def build_occupancy_grid(
     density_grid: np.ndarray,
     bounds: Tuple[float, float],
@@ -75,17 +91,7 @@ def build_occupancy_grid(
     Returns:
         An :class:`OccupancyGrid` (numpy; callers move it to device).
     """
-    occ = density_grid > float(threshold)
-    for _ in range(int(dilate)):
-        grown = occ.copy()
-        for ax in range(3):
-            grown[tuple(slice(None, -1) if i == ax else slice(None) for i in range(3))] |= occ[
-                tuple(slice(1, None) if i == ax else slice(None) for i in range(3))
-            ]
-            grown[tuple(slice(1, None) if i == ax else slice(None) for i in range(3))] |= occ[
-                tuple(slice(None, -1) if i == ax else slice(None) for i in range(3))
-            ]
-        occ = grown
+    occ = _dilate_binary(density_grid > float(threshold), int(dilate))
     lo, hi = float(bounds[0]), float(bounds[1])
     aabb = np.asarray([[lo, lo, lo], [hi, hi, hi]], np.float32)
     return OccupancyGrid(grid=occ.astype(np.uint8), aabb=aabb)
@@ -182,6 +188,149 @@ def occupancy_ray_bounds(
     t_near = jnp.where(miss, hi, t_near)
     t_far = jnp.where(miss, hi, t_far)
     return t_near, t_far
+
+
+def coarsen_occupancy(occ: OccupancyGrid, factor: int) -> OccupancyGrid:
+    """Max-pool the binary grid by ``factor`` into a conservative coarse grid.
+
+    Used by the two-stage bounds march (:func:`occupancy_ray_bounds` run
+    coarse-then-fine): a short probe march against the coarse grid finds
+    the rough occupied span, and only that span is probed against the fine
+    grid. Because :func:`query_occupancy` treats BOTH grids as lattice
+    points spanning the same box inclusively, the pooled lattice is
+    slightly misaligned with the group centers it summarizes (up to ~half
+    a coarse cell) — one coarse voxel of dilation after pooling restores
+    strict conservativeness (coarse-empty implies fine-empty).
+
+    Runs in numpy at grid-load time; the result is captured as a
+    compile-time constant alongside the fine grid.
+    """
+    factor = int(factor)
+    if factor <= 1:
+        return occ
+    g = np.asarray(occ.grid) > 0
+    pad = [(0, (-d) % factor) for d in g.shape]
+    g = np.pad(g, pad, constant_values=False)
+    g = g.reshape(
+        g.shape[0] // factor, factor, g.shape[1] // factor, factor, g.shape[2] // factor, factor
+    ).any(axis=(1, 3, 5))
+    g = _dilate_binary(g, 1)
+    return OccupancyGrid(grid=g.astype(np.uint8), aabb=np.asarray(occ.aabb, np.float32))
+
+
+class OccupancyBoundsSpec(NamedTuple):
+    """How to turn an occupancy grid into per-ray depth bounds.
+
+    The exact single-stage march (:func:`occupancy_ray_bounds` with the
+    fine grid and ``n_probe`` probes on every ray) costs rays x n_probe
+    data-dependent gathers — measured ~0.7 s per 800x800 frame at the
+    128-probe default (82M gathers; TPU gathers are issue-rate-bound, see
+    docs/performance.md). This spec describes the cheap formulation:
+
+    - ``coarse``: march ``n_probe_coarse`` probes against a max-pooled
+      (conservative) coarse grid first, then ``n_probe`` fine probes only
+      across the coarse span (2-4x fewer fine-grid gathers for free).
+    - ``block``: on full-image eval grids, compute bounds only on every
+      ``block``-th ray per image axis, take the conservative 3x3
+      neighborhood union of the decimated maps, and nearest-upsample
+      (block^2 x fewer rays marched; neighboring eval rays differ by
+      <= ``block`` pixels of direction, which the neighborhood union plus
+      the probe-spacing expansion and the grid's build-time dilation
+      absorb).
+
+    ``coarse=None`` and ``block=1`` reproduce the exact path.
+    """
+
+    grid: OccupancyGrid
+    coarse: Union[OccupancyGrid, None] = None
+    n_probe: int = 64
+    n_probe_coarse: int = 32
+    block: int = 2
+
+
+def occupancy_bounds(
+    origins: jax.Array,
+    directions: jax.Array,
+    spec: Union[OccupancyGrid, OccupancyBoundsSpec],
+    t_lo: jax.Array,
+    t_hi: jax.Array,
+    n_probe: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch per-ray occupancy depth bounds for a plain grid or a spec.
+
+    A bare :class:`OccupancyGrid` runs the exact single-stage march with
+    ``n_probe`` probes (legacy behavior). An :class:`OccupancyBoundsSpec`
+    runs the cheap two-stage/decimated formulation (``n_probe`` arg is
+    ignored; the spec carries its own probe counts). The image-decimation
+    path engages only when the rays form a 2D image grid
+    (``origins.shape == (B, H, W, 3)`` with H, W > block).
+    """
+    if isinstance(spec, OccupancyGrid):
+        return occupancy_ray_bounds(origins, directions, spec, t_lo, t_hi, n_probe=n_probe)
+
+    block = int(spec.block)
+    spatial = origins.shape[1:-1]
+    if block > 1 and len(spatial) == 2 and min(spatial) > block:
+        return _occupancy_image_bounds(origins, directions, spec, t_lo, t_hi)
+    return _two_stage_bounds(origins, directions, spec, t_lo, t_hi)
+
+
+def _two_stage_bounds(origins, directions, spec: OccupancyBoundsSpec, t_lo, t_hi):
+    """Coarse-grid march to find the rough span, fine-grid march inside it."""
+    lo, hi = t_lo, t_hi
+    if spec.coarse is not None:
+        lo, hi = occupancy_ray_bounds(
+            origins, directions, spec.coarse, lo, hi, n_probe=int(spec.n_probe_coarse)
+        )
+    return occupancy_ray_bounds(origins, directions, spec.grid, lo, hi, n_probe=int(spec.n_probe))
+
+
+def _occupancy_image_bounds(origins, directions, spec: OccupancyBoundsSpec, t_lo, t_hi):
+    """Bounds on a decimated image-grid ray set + conservative 3x3 union.
+
+    origins/directions are ``(B, H, W, 3)``. Marches every ``block``-th
+    ray, min/max-pools the resulting near/far maps over a 3x3 stride-1
+    window (the union of each decimated ray's neighborhood — covers the
+    full-res rays between the marched ones), nearest-upsamples back to
+    (H, W), and clamps into each full-res ray's own outer interval. A ray
+    whose whole pooled neighborhood missed keeps the miss semantics
+    (bounds collapse toward its far plane -> pure background).
+    """
+    dtype = origins.dtype
+    b = int(spec.block)
+    bsz, h, w = origins.shape[:3]
+    lo = jnp.broadcast_to(jnp.asarray(t_lo, dtype), (bsz, h, w))
+    hi = jnp.broadcast_to(jnp.asarray(t_hi, dtype), (bsz, h, w))
+
+    t0_d, t1_d = _two_stage_bounds(
+        origins[:, ::b, ::b],
+        directions[:, ::b, ::b],
+        spec,
+        lo[:, ::b, ::b],
+        hi[:, ::b, ::b],
+    )
+    # The neighborhood union must treat a missed ray as an EMPTY interval,
+    # not as its [hi, hi] encoding — otherwise one missing neighbor blows
+    # every silhouette ray's far bound out to the far plane (and its near
+    # bound down via the min-pool). Re-encode misses as (+big, -big) so
+    # they are the identity of the (min, max) pooling, and restore the
+    # far-plane miss semantics afterwards for all-miss neighborhoods.
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    miss_d = t1_d <= t0_d
+    window = (1, 3, 3)
+    ones = (1, 1, 1)
+    t0_p = -jax.lax.reduce_window(
+        jnp.where(miss_d, -big, -t0_d), -big, jax.lax.max, window, ones, "SAME"
+    )
+    t1_p = jax.lax.reduce_window(
+        jnp.where(miss_d, -big, t1_d), -big, jax.lax.max, window, ones, "SAME"
+    )
+    t0 = jnp.repeat(jnp.repeat(t0_p, b, axis=1), b, axis=2)[:, :h, :w]
+    t1 = jnp.repeat(jnp.repeat(t1_p, b, axis=1), b, axis=2)[:, :h, :w]
+    all_miss = t1 <= -big * 0.5
+    t0 = jnp.clip(jnp.where(all_miss, hi, t0), lo, hi)
+    t1 = jnp.clip(jnp.where(all_miss, hi, t1), lo, hi)
+    return jnp.minimum(t0, t1), t1
 
 
 def save_occupancy(path: str, occ: OccupancyGrid, threshold: float) -> None:

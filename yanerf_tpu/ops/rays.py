@@ -148,12 +148,16 @@ def xy_to_ray_bundle(
             fixed sample budget concentrates where the scene actually is,
             and rays that miss the box collapse to the far plane
             (= background). Static shapes throughout.
-        occupancy: optional ``ops.occupancy.OccupancyGrid``. When given,
-            each ray's depth interval is further tightened to the occupied
-            span along the ray (``occupancy_ray_bounds``) — empty-space
-            skipping with static shapes. Applied inside the ``scene_aabb``
-            bounds when both are set.
-        occupancy_n_probe: probes per ray for the occupancy march.
+        occupancy: optional ``ops.occupancy.OccupancyGrid`` (exact
+            single-stage march) or ``OccupancyBoundsSpec`` (the cheap
+            coarse-to-fine / ray-decimated formulation). When given, each
+            ray's depth interval is further tightened to the occupied span
+            along the ray (``ops.occupancy.occupancy_bounds``) —
+            empty-space skipping with static shapes. Applied inside the
+            ``scene_aabb`` bounds when both are set.
+        occupancy_n_probe: probes per ray for the single-stage march
+            (ignored when ``occupancy`` is a spec, which carries its own
+            probe counts).
 
     Returns:
         A :class:`RayBundle` with origins/directions ``(B, *spatial, 3)``,
@@ -190,9 +194,9 @@ def xy_to_ray_bundle(
         else:
             lo, hi = min_d, max_d
         if occupancy is not None:
-            from .occupancy import occupancy_ray_bounds
+            from .occupancy import occupancy_bounds
 
-            lo, hi = occupancy_ray_bounds(
+            lo, hi = occupancy_bounds(
                 origins, directions, occupancy, lo, hi, n_probe=occupancy_n_probe
             )
         t = jnp.linspace(0.0, 1.0, n_pts_per_ray, dtype=dtype)

@@ -225,6 +225,10 @@ class RaySampler:
         occupancy_grid: Optional[str] = None,
         occupancy_n_probe: int = 128,
         occupancy_eval_only: bool = True,
+        occupancy_coarse_factor: int = 4,
+        occupancy_n_probe_coarse: int = 32,
+        occupancy_n_probe_fine: int = 64,
+        occupancy_block: int = 2,
     ) -> None:
         self.image_width = image_width
         self.image_height = image_height
@@ -258,15 +262,40 @@ class RaySampler:
         # field it was fitted to, so a training run that moves the density
         # would invalidate it (and the measured quality recipes train
         # without it).
+        # The bounds march itself uses the cheap formulation by default
+        # (coarse-to-fine grids + eval-image ray decimation,
+        # ops/occupancy.py::OccupancyBoundsSpec) — the exact single-stage
+        # march measured ~0.7 s/frame of pure gather cost at 800px
+        # (results/occupancy_eval.json; diagnosis in docs/performance.md).
+        # Set occupancy_coarse_factor=1 AND occupancy_block=1 to force the
+        # exact path (then occupancy_n_probe is the probe count).
         self.occupancy = None
         if occupancy_grid is not None:
             if use_ndc:
                 raise ValueError(
                     "occupancy_grid cannot be combined with use_ndc (NDC depth is not metric)"
                 )
-            from yanerf_tpu.ops.occupancy import load_occupancy
+            from yanerf_tpu.ops.occupancy import (
+                OccupancyBoundsSpec,
+                coarsen_occupancy,
+                load_occupancy,
+            )
 
-            self.occupancy = load_occupancy(occupancy_grid)
+            grid = load_occupancy(occupancy_grid)
+            if int(occupancy_coarse_factor) <= 1 and int(occupancy_block) <= 1:
+                self.occupancy = grid  # exact single-stage march
+            else:
+                self.occupancy = OccupancyBoundsSpec(
+                    grid=grid,
+                    coarse=(
+                        coarsen_occupancy(grid, int(occupancy_coarse_factor))
+                        if int(occupancy_coarse_factor) > 1
+                        else None
+                    ),
+                    n_probe=int(occupancy_n_probe_fine),
+                    n_probe_coarse=int(occupancy_n_probe_coarse),
+                    block=int(occupancy_block),
+                )
         self.occupancy_n_probe = int(occupancy_n_probe)
         self.occupancy_eval_only = bool(occupancy_eval_only)
         self._sampling_mode = {
