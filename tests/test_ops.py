@@ -566,3 +566,54 @@ def test_hard_background_broadcasts_single_channel_bg():
     )
     assert features.shape == (4, 3)
     np.testing.assert_allclose(np.asarray(features), 0.5, atol=1e-5)
+
+
+def test_density_activation_softplus_matches_manual():
+    # softplus(raw + pre_bias) + bg_bias substituted into the same
+    # compositing math as the relu default (mip-NeRF density activation).
+    lengths = jnp.asarray([[1.0, 2.0, 3.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    raw = np.array([-0.5, 0.3, 1.2], dtype=np.float32)
+    dens = jnp.asarray(raw).reshape(1, 3, 1)
+
+    w_sp, op_sp = ops.emission_absorption_weights(
+        dens, lengths, dirs,
+        density_activation="softplus", density_pre_activation_bias=-1.0,
+        background_density_bias=1e-6,
+    )
+    sigma = np.log1p(np.exp(raw - 1.0)) + 1e-6
+    wd = np.array([1.0, 1.0, 1e10]) * sigma
+    rays_op = 1.0 - np.exp(-np.cumsum(wd))
+    absorption = np.concatenate([[1.0], 1.0 - rays_op[:-1]])
+    expected = (1.0 - np.exp(-wd)) * absorption
+    np.testing.assert_allclose(np.asarray(w_sp)[0], expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(op_sp)[0], rays_op[-1:], atol=1e-6)
+
+
+def test_density_activation_backcompat_with_density_relu():
+    # density_activation=None defers to the boolean; explicit names match
+    # the historical paths bit-exactly (incl. "none" skipping the bias).
+    lengths = jnp.broadcast_to(jnp.linspace(1.0, 3.0, 5), (2, 5))
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2, 3))
+    dens = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 5, 1)).astype(np.float32)
+    )
+    for relu_flag, name in [(True, "relu"), (False, "none")]:
+        w_old, op_old = ops.emission_absorption_weights(
+            dens, lengths, dirs, density_relu=relu_flag,
+            background_density_bias=1e-6,
+        )
+        w_new, op_new = ops.emission_absorption_weights(
+            dens, lengths, dirs, density_activation=name,
+            background_density_bias=1e-6,
+        )
+        np.testing.assert_array_equal(np.asarray(w_old), np.asarray(w_new))
+        np.testing.assert_array_equal(np.asarray(op_old), np.asarray(op_new))
+
+
+def test_density_activation_unknown_name_raises():
+    lengths = jnp.asarray([[1.0, 2.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    dens = jnp.ones((1, 2, 1))
+    with pytest.raises(ValueError, match="density_activation"):
+        ops.emission_absorption_weights(dens, lengths, dirs, density_activation="gelu")

@@ -9,7 +9,7 @@ from .metrics import (
     safe_sqrt,
     view_metrics,
 )
-from .raymarch import emission_absorption
+from .raymarch import emission_absorption, emission_absorption_weights
 from .rays import (
     get_min_max_depth_bounds,
     get_xy_grid,
@@ -35,6 +35,7 @@ __all__ = [
     "safe_sqrt",
     "view_metrics",
     "emission_absorption",
+    "emission_absorption_weights",
     "get_min_max_depth_bounds",
     "get_xy_grid",
     "jiggle_within_stratas",

@@ -41,6 +41,30 @@ def _weight_function(name: str):
     raise ValueError(f"Unknown weight_function: {name}")
 
 
+def _density_activation(name: Optional[str], density_relu: bool):
+    """Resolve the density activation.
+
+    ``density_activation`` (relu | softplus | none) supersedes the older
+    boolean ``density_relu`` (kept for config back-compat: True -> relu,
+    False -> none). ``softplus`` is the mip-NeRF choice (Barron et al.
+    2021 use softplus(raw + bias) with bias -1 via
+    ``density_pre_activation_bias``): unlike relu it has nonzero gradient
+    for raw < 0, so a ray whose density collapsed early can still recover
+    — the stability lever for the fog local minimum.
+    """
+    if name is None:
+        name = "relu" if density_relu else "none"
+    if name == "relu":
+        return jax.nn.relu
+    if name == "softplus":
+        return jax.nn.softplus
+    if name == "none":
+        # None (not identity): the raw-density path also skips the pre/post
+        # biases, matching the historical density_relu=False behavior bit-exactly
+        return None
+    raise ValueError(f"Unknown density_activation: {name}")
+
+
 def emission_absorption_weights(
     rays_densities: jax.Array,
     ray_lengths: jax.Array,
@@ -52,6 +76,8 @@ def emission_absorption_weights(
     weight_function: str = "product",
     background_opacity: float = 1e10,
     density_relu: bool = True,
+    density_activation: Optional[str] = None,
+    density_pre_activation_bias: float = 0.0,
     background_density_bias: float = 0.0,
     surface_thickness: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -84,8 +110,9 @@ def emission_absorption_weights(
         if rng is None:
             raise ValueError("density_noise_std > 0 requires an rng key")
         densities = densities + jax.random.normal(rng, densities.shape, dtype=dtype) * density_noise_std
-    if density_relu:
-        densities = jax.nn.relu(densities) + background_density_bias
+    act = _density_activation(density_activation, density_relu)
+    if act is not None:
+        densities = act(densities + density_pre_activation_bias) + background_density_bias
 
     weighted_densities = deltas * densities
     capped_densities = cap(weighted_densities)
@@ -114,6 +141,8 @@ def emission_absorption(
     weight_function: str = "product",
     background_opacity: float = 1e10,
     density_relu: bool = True,
+    density_activation: Optional[str] = None,
+    density_pre_activation_bias: float = 0.0,
     blend_output: bool = False,
     background_density_bias: float = 0.0,
     hard_background: bool = False,
@@ -144,6 +173,8 @@ def emission_absorption(
         weight_function=weight_function,
         background_opacity=background_opacity,
         density_relu=density_relu,
+        density_activation=density_activation,
+        density_pre_activation_bias=density_pre_activation_bias,
         background_density_bias=background_density_bias,
         surface_thickness=surface_thickness,
     )

@@ -107,6 +107,8 @@ class MultipassEmissionAbsorpsionRenderer:
         background_density_bias: float = 0.0,
         hard_background: bool = False,
         density_relu: bool = True,
+        density_activation: str = None,  # relu | softplus | none (supersedes density_relu)
+        density_pre_activation_bias: float = 0.0,
         surface_thickness: int = 1,
         eval_compositing_dtype: str = None,
     ) -> None:
@@ -126,6 +128,8 @@ class MultipassEmissionAbsorpsionRenderer:
             weight_function=weight_function,
             background_opacity=background_opacity,
             density_relu=density_relu,
+            density_activation=density_activation,
+            density_pre_activation_bias=density_pre_activation_bias,
             blend_output=blend_output,
             background_density_bias=background_density_bias,
             hard_background=hard_background,
@@ -253,6 +257,8 @@ class ProposalEmissionAbsorpsionRenderer:
         background_density_bias: float = 0.0,
         hard_background: bool = False,
         density_relu: bool = True,
+        density_activation: str = None,  # relu | softplus | none (supersedes density_relu)
+        density_pre_activation_bias: float = 0.0,
         surface_thickness: int = 1,
         interlevel_loss_eps: float = 1e-7,
         distortion_in_disparity: bool = False,
@@ -280,6 +286,8 @@ class ProposalEmissionAbsorpsionRenderer:
             weight_function=weight_function,
             background_opacity=background_opacity,
             density_relu=density_relu,
+            density_activation=density_activation,
+            density_pre_activation_bias=density_pre_activation_bias,
             background_density_bias=background_density_bias,
             surface_thickness=surface_thickness,
         )
