@@ -105,7 +105,13 @@ def main() -> None:
         arm_child(args.arm)
         return
 
-    record = json.loads(OUT_JSON.read_text()) if OUT_JSON.exists() else {"n_rays": N_RAYS, "arms": {}}
+    record = json.loads(OUT_JSON.read_text()) if OUT_JSON.exists() else None
+    if not record or record.get("n_rays") != N_RAYS:
+        # a record swept at a different shape (e.g. the 64-ray CPU smoke)
+        # must not satisfy the resume check for the flagship sweep
+        if record is not None:
+            print(f"RESET: record is n_rays={record.get('n_rays')}, sweeping {N_RAYS}", flush=True)
+        record = {"n_rays": N_RAYS, "arms": {}}
     for label, chunk, threshold in ARMS:
         if record["arms"].get(label, {}).get("ms_per_step") is not None:
             print(f"SKIP {label}: {record['arms'][label]}", flush=True)
