@@ -115,7 +115,19 @@ def main():
     ), "runs": {}}
     if OUT_JSON.exists():
         record = json.loads(OUT_JSON.read_text())
+    # training-PSNR gate: a diverged checkpoint (mip_classic_s42 collapsed to
+    # 17.9 dB, results/ab_r3.json) measures training stability, not aliasing —
+    # pooling it into the multiscale means would poison the comparison. The
+    # divergence is reported in ab_r3.json (and the mip_softplus arm targets it).
+    ab = json.loads((REPO / "results" / "ab_r3.json").read_text())["runs"]
     for arm in ("mip_classic_s42", "mip_classic_s43", "classic_exact_s42", "classic_exact_s43"):
+        train_psnr = ab.get(arm, {}).get("test_psnr")
+        if train_psnr is not None and train_psnr < 25.0:
+            record.setdefault("excluded", {})[arm] = {
+                "reason": "diverged training run (fog collapse)", "test_psnr": round(train_psnr, 3)
+            }
+            print(f"EXCLUDE {arm}: diverged ({train_psnr:.1f} dB)", flush=True)
+            continue
         run_dir = WORK / arm
         ckpt = latest_ckpt(run_dir)
         if ckpt is None:
