@@ -116,6 +116,11 @@ def main() -> None:
         if record["arms"].get(label, {}).get("ms_per_step") is not None:
             print(f"SKIP {label}: {record['arms'][label]}", flush=True)
             continue
+        sys.path.insert(0, str(REPO / "benchmarks"))
+        from _deadline import should_stop
+        if should_stop(headroom_s=2400):
+            print(f"DEADLINE: not starting {label}", flush=True)
+            break
         env = dict(os.environ,
                    YANERF_HASHGRID_BWD_SCAN_CHUNK=str(chunk),
                    YANERF_HASHGRID_BWD_SCAN_THRESHOLD=str(threshold))

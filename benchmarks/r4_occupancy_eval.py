@@ -140,6 +140,10 @@ def main():
         if record["runs"].get(key, {}).get("test_psnr") is not None:
             log(f"SKIP {key}: {record['runs'][key]['test_psnr']:.2f}")
             return
+        from _deadline import should_stop
+        if should_stop(headroom_s=900):
+            log(f"DEADLINE: not starting {key}")
+            sys.exit(0)
         out_dir = WORK / key
         out_dir.mkdir(parents=True, exist_ok=True)
         t0 = time.time()
@@ -172,6 +176,10 @@ def main():
         if record["fps"].get(key) is not None:
             log(f"SKIP fps {key}: {record['fps'][key]}")
             return
+        from _deadline import should_stop
+        if should_stop(headroom_s=900):
+            log(f"DEADLINE: not starting fps {key}")
+            sys.exit(0)
         proc = subprocess.run(
             [sys.executable, str(REPO / "benchmarks" / "r4_occupancy_eval.py"), *fps_argv],
             cwd=REPO, capture_output=True, text=True,
