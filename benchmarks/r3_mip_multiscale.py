@@ -138,6 +138,11 @@ def main():
             if key in record["runs"]:
                 print(f"SKIP {key} (done)", flush=True)
                 continue
+            sys.path.insert(0, str(REPO / "benchmarks"))
+            from _deadline import should_stop
+            if should_stop(headroom_s=600):
+                print(f"DEADLINE: not starting {key}", flush=True)
+                return
             psnr = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800, gt_800, hw_800, scale)
             record["runs"][key] = {"arm": arm.rsplit("_s", 1)[0], "scale": scale, "psnr": round(psnr, 3)}
             # per-(arm, scale) means over seeds
