@@ -130,6 +130,64 @@ def test_coarsen_occupancy_is_conservative():
     assert coarse.grid.mean() < 1.0
 
 
+def test_coarsen_occupancy_diagonal_corner_voxel():
+    # Regression for the round-4 advisor finding: a fine voxel at a
+    # pooling-group corner (index (3,3,0), res=33, factor=4) nearest-rounds
+    # to coarse cell (1,1,0) — a DIAGONAL neighbor of its pooling group
+    # (0,0,0) — which an axis-only dilation of the pooled grid missed, so
+    # the two-stage march skipped real content. The conservative-by-
+    # construction pooling must mark every coarse cell that any point of
+    # the voxel can query.
+    res = 33
+    grid = np.zeros((res, res, res), np.uint8)
+    grid[3, 3, 0] = 1
+    fine = OccupancyGrid(grid=grid, aabb=np.asarray([[-1.0] * 3, [1.0] * 3], np.float32))
+    coarse = coarsen_occupancy(fine, 4)
+    assert coarse.grid[1, 1, 0] == 1  # the diagonal cell the old code left empty
+
+    # every point inside the voxel (fine-occupied) must be coarse-occupied:
+    # dense sample of the voxel's world-space cube (+-half a fine cell)
+    c = 2.0 * np.asarray([3, 3, 0]) / (res - 1) - 1.0
+    half = 1.0 / (res - 1)
+    ax = np.linspace(-half, half, 9)
+    off = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1).reshape(-1, 3)
+    pts = np.clip(c + off * 0.999, -1.0, 1.0).astype(np.float32)
+    hit_f = np.asarray(query_occupancy(jnp.asarray(fine.grid), jnp.asarray(fine.aabb), jnp.asarray(pts)))
+    hit_c = np.asarray(
+        query_occupancy(jnp.asarray(coarse.grid), jnp.asarray(coarse.aabb), jnp.asarray(pts))
+    )
+    assert hit_f.all()
+    assert hit_c[hit_f].all()
+    # and the coarse grid stays tight: a single voxel marks at most 2^3 cells
+    assert coarse.grid.sum() <= 8
+
+
+def test_coarsen_occupancy_conservative_at_every_lattice_point():
+    # exhaustive sweep: single occupied voxels at awkward positions, checked
+    # against a dense point cloud jittered within half a fine voxel
+    rng = np.random.default_rng(3)
+    res, factor = 21, 4
+    for iv in [(0, 0, 0), (3, 3, 0), (3, 3, 3), (20, 17, 19), (10, 3, 7)]:
+        grid = np.zeros((res, res, res), np.uint8)
+        grid[iv] = 1
+        fine = OccupancyGrid(
+            grid=grid, aabb=np.asarray([[-2.0, 0.0, -1.0], [2.0, 4.0, 3.0]], np.float32)
+        )
+        coarse = coarsen_occupancy(fine, factor)
+        lo, hi = fine.aabb[0], fine.aabb[1]
+        c = lo + (hi - lo) * np.asarray(iv) / (res - 1)
+        half = (hi - lo) / (res - 1) / 2.0
+        pts = (c + rng.uniform(-1, 1, size=(512, 3)) * half * 0.999).astype(np.float32)
+        pts = np.clip(pts, lo, hi)
+        hit_f = np.asarray(
+            query_occupancy(jnp.asarray(fine.grid), jnp.asarray(fine.aabb), jnp.asarray(pts))
+        )
+        hit_c = np.asarray(
+            query_occupancy(jnp.asarray(coarse.grid), jnp.asarray(coarse.aabb), jnp.asarray(pts))
+        )
+        assert not (hit_f & ~hit_c).any(), f"voxel {iv}: fine-occupied point coarse-empty"
+
+
 def _slab_occ(res=32):
     axis = np.linspace(-1.0, 1.0, res)
     zz = np.broadcast_to(axis, (res, res, res))

@@ -159,6 +159,10 @@ class LLFFDataset:
         bd_factor=0.75,
         spherify=False,
         path_zflat=False,
+        # Accepted-but-unused, matching the reference exactly (ref
+        # llff_dataset.py:39 also takes `debug` and never reads it; only
+        # BlenderDataset's debug forces a scale_down). Kept so configs that
+        # pass `debug:` to every dataset keep working.
         debug=False,
     ):
         if split not in ("train", "val", "test"):

@@ -190,17 +190,53 @@ def occupancy_ray_bounds(
     return t_near, t_far
 
 
+def _conservative_axis_pool(g: np.ndarray, axis: int, rc: int) -> np.ndarray:
+    """OR each fine slab along ``axis`` into every coarse index reachable
+    by points inside that slab's voxel under :func:`query_occupancy`'s
+    nearest-lattice rounding (both lattices span the same box inclusively).
+
+    Fine voxel ``i`` owns unit coordinates ``u in [(i-0.5)/(rf-1),
+    (i+0.5)/(rf-1)]``; a point there coarse-queries ``round(u*(rc-1))``,
+    which ranges over ``[ceil(u_lo*(rc-1)-0.5), floor(u_hi*(rc-1)+0.5)]``
+    (a superset of either round-half convention). ORing into that whole
+    range makes coarse-empty => fine-empty exact by construction — no
+    blanket dilation, so the coarse grid stays as tight as possible.
+    """
+    rf = g.shape[axis]
+    out_shape = list(g.shape)
+    out_shape[axis] = rc
+    out = np.zeros(out_shape, bool)
+    gm = np.moveaxis(g, axis, 0)
+    om = np.moveaxis(out, axis, 0)
+    if rf == 1 or rc == 1:
+        np.logical_or.at(om, np.zeros(rf, int), gm)
+        return out
+    i = np.arange(rf, dtype=np.float64)
+    u_lo = np.clip((i - 0.5) / (rf - 1), 0.0, 1.0)
+    u_hi = np.clip((i + 0.5) / (rf - 1), 0.0, 1.0)
+    j_lo = np.clip(np.ceil(u_lo * (rc - 1) - 0.5).astype(int), 0, rc - 1)
+    j_hi = np.clip(np.floor(u_hi * (rc - 1) + 0.5).astype(int), 0, rc - 1)
+    for off in range(int((j_hi - j_lo).max()) + 1):
+        np.logical_or.at(om, np.minimum(j_lo + off, j_hi), gm)
+    return out
+
+
 def coarsen_occupancy(occ: OccupancyGrid, factor: int) -> OccupancyGrid:
-    """Max-pool the binary grid by ``factor`` into a conservative coarse grid.
+    """Pool the binary grid by ``factor`` into a strictly conservative coarse grid.
 
     Used by the two-stage bounds march (:func:`occupancy_ray_bounds` run
     coarse-then-fine): a short probe march against the coarse grid finds
     the rough occupied span, and only that span is probed against the fine
     grid. Because :func:`query_occupancy` treats BOTH grids as lattice
-    points spanning the same box inclusively, the pooled lattice is
-    slightly misaligned with the group centers it summarizes (up to ~half
-    a coarse cell) — one coarse voxel of dilation after pooling restores
-    strict conservativeness (coarse-empty implies fine-empty).
+    points spanning the same box inclusively, a plain factor-group max-pool
+    is misaligned with the coarse query lattice — the nearest coarse index
+    of a fine voxel can deviate +-1 from its pooling group in SEVERAL axes
+    at once (diagonally), which an axis-only dilation does not cover. The
+    pooling here is therefore done per axis against the query mapping
+    itself (:func:`_conservative_axis_pool`): every fine voxel is ORed into
+    exactly the coarse cells its points can round to, making coarse-empty
+    => fine-empty exact by construction at the original
+    ``ceil(res/factor)`` coarse resolution.
 
     Runs in numpy at grid-load time; the result is captured as a
     compile-time constant alongside the fine grid.
@@ -209,12 +245,9 @@ def coarsen_occupancy(occ: OccupancyGrid, factor: int) -> OccupancyGrid:
     if factor <= 1:
         return occ
     g = np.asarray(occ.grid) > 0
-    pad = [(0, (-d) % factor) for d in g.shape]
-    g = np.pad(g, pad, constant_values=False)
-    g = g.reshape(
-        g.shape[0] // factor, factor, g.shape[1] // factor, factor, g.shape[2] // factor, factor
-    ).any(axis=(1, 3, 5))
-    g = _dilate_binary(g, 1)
+    for axis in range(3):
+        rc = max(1, -(-g.shape[axis] // factor))
+        g = _conservative_axis_pool(g, axis, rc)
     return OccupancyGrid(grid=g.astype(np.uint8), aabb=np.asarray(occ.aabb, np.float32))
 
 

@@ -107,7 +107,7 @@ class MultipassEmissionAbsorpsionRenderer:
         background_density_bias: float = 0.0,
         hard_background: bool = False,
         density_relu: bool = True,
-        density_activation: str = None,  # relu | softplus | none (supersedes density_relu)
+        density_activation: Optional[str] = None,  # relu | softplus | none (supersedes density_relu)
         density_pre_activation_bias: float = 0.0,
         surface_thickness: int = 1,
         eval_compositing_dtype: str = None,
@@ -257,7 +257,7 @@ class ProposalEmissionAbsorpsionRenderer:
         background_density_bias: float = 0.0,
         hard_background: bool = False,
         density_relu: bool = True,
-        density_activation: str = None,  # relu | softplus | none (supersedes density_relu)
+        density_activation: Optional[str] = None,  # relu | softplus | none (supersedes density_relu)
         density_pre_activation_bias: float = 0.0,
         surface_thickness: int = 1,
         interlevel_loss_eps: float = 1e-7,
