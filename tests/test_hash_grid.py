@@ -281,6 +281,64 @@ def test_table_lookup_bwd_scan_path_matches_flat(monkeypatch):
     np.testing.assert_allclose(np.asarray(flat_grad), np.asarray(auto_grad), rtol=1e-6, atol=1e-6)
 
 
+def test_table_lookup_bwd_sort_path_matches_flat(monkeypatch):
+    """The round-5 scatter-free sort backward (YANERF_HASHGRID_BWD=sort)
+    must match the one-shot flat-scatter gradient. Exercises: rows with
+    many collisions, rows never referenced, run boundaries at both array
+    ends, and a non-power-of-two update count."""
+    import jax
+    import jax.numpy as jnp
+
+    from yanerf_tpu.models import hash_grid as hg
+
+    rng = np.random.RandomState(1)
+    n_rows, n_feats, n_updates = 97, 2, 4999
+    table = jnp.asarray(rng.randn(n_rows, n_feats).astype(np.float32))
+    # skewed index distribution: heavy collisions on a few rows, plus the
+    # exact first/last rows, plus rows that never appear
+    idx_np = rng.randint(0, 80, size=(n_updates,))  # rows 80..95 never referenced
+    idx_np[: n_updates // 3] = rng.choice([0, 1, 50, n_rows - 1], size=n_updates // 3)
+    idx = jnp.asarray(idx_np, jnp.int32)
+    ct_seed = jnp.asarray(rng.randn(n_updates, n_feats).astype(np.float32))
+
+    def loss(t):
+        return jnp.sum(hg.table_lookup(t, idx) * ct_seed)
+
+    monkeypatch.setattr(hg, "_BWD_MODE", "scatter")
+    flat_grad = jax.grad(loss)(table)
+    monkeypatch.setattr(hg, "_BWD_MODE", "sort")
+    sort_grad = jax.grad(loss)(table)
+    # tree-order vs scatter-order f32 summation: tiny rounding differences
+    np.testing.assert_allclose(np.asarray(sort_grad), np.asarray(flat_grad), rtol=1e-5, atol=1e-5)
+    # rows never referenced must be exactly zero
+    untouched = np.setdiff1d(np.arange(n_rows), np.unique(idx_np))
+    assert untouched.size > 0
+    assert (np.asarray(sort_grad)[untouched] == 0.0).all()
+
+
+def test_table_lookup_bwd_sort_whole_model_grads(monkeypatch):
+    """End-to-end encode gradients under the sort backward match autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from yanerf_tpu.models import hash_grid as hg
+
+    m = _small_model(encode_chunk=64)
+    params = m.init(jax.random.PRNGKey(0))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (150, 3), minval=-2.0, maxval=2.0)
+    ct = jax.random.normal(jax.random.PRNGKey(2), (150, m.encoding_dim))
+
+    def loss(tables):
+        return jnp.sum(m.encode(tables, pts) * ct)
+
+    monkeypatch.setattr(hg, "_BWD_MODE", "sort")
+    g_sort = jax.grad(loss)(params["tables"])
+    monkeypatch.setattr(hg, "_BWD_MODE", "auto")
+    g_auto = jax.grad(loss)(params["tables"])
+    for gs, ga in zip(g_sort, g_auto):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ga), rtol=1e-5, atol=1e-6)
+
+
 def test_contract_coords_requires_covering_scene_bound():
     from yanerf_tpu.models import MODELS
 

@@ -225,6 +225,44 @@ def test_mip_nerf_under_proposal_renderer():
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+def test_intervals_from_boundaries_match_compositing_deltas():
+    """boundary mode: sample i's interval is exactly [t_i, t_{i+1}] — the
+    span the EA raymarcher composites density i over — and the last sample
+    gets a bounded tail extended by the previous gap."""
+    from yanerf_tpu.ops.mip import intervals_from_boundaries
+
+    t = jnp.asarray([[1.0, 1.5, 2.5, 4.0]])
+    t0, t1 = intervals_from_boundaries(t)
+    np.testing.assert_allclose(np.asarray(t0), [[1.0, 1.5, 2.5, 4.0]])
+    np.testing.assert_allclose(np.asarray(t1), [[1.5, 2.5, 4.0, 5.5]])
+    # interval widths for interior samples == the raymarcher's deltas
+    np.testing.assert_allclose(np.asarray(t1 - t0)[:, :-1], np.asarray(t[:, 1:] - t[:, :-1]))
+    # duplicate depths must not produce t1 < t0
+    td = jnp.asarray([[1.0, 1.0, 2.0]])
+    t0d, t1d = intervals_from_boundaries(td)
+    assert bool(jnp.all(t1d >= t0d))
+
+
+def test_mip_nerf_interval_mode_boundary():
+    kwargs = dict(
+        n_layers=2, input_skips=[1], n_harmonic_functions_xyz=4,
+        n_harmonic_functions_dir=2, n_hidden_neurons_xyz=16, n_hidden_neurons_dir=8,
+        latent_dim=0, color_dim=3,
+    )
+    mid = MipNeRFMLP(base_radius=6e-4, **kwargs)
+    bnd = MipNeRFMLP(base_radius=6e-4, interval_mode="boundary", **kwargs)
+    params = mid.init(jax.random.PRNGKey(0))
+    o, d, t = _bundle(jax.random.PRNGKey(2))
+    out_m = mid.apply(params, o, d, t)
+    out_b = bnd.apply(params, o, d, t)
+    assert out_b["rays_densities"].shape == out_m["rays_densities"].shape
+    assert np.all(np.isfinite(np.asarray(out_b["rays_densities"])))
+    # different interval parameterization -> different encodings
+    assert float(jnp.abs(out_b["rays_densities"] - out_m["rays_densities"]).max()) > 1e-6
+    with pytest.raises(ValueError, match="interval_mode"):
+        MipNeRFMLP(base_radius=6e-4, interval_mode="nope", **kwargs)
+
+
 def test_intervals_from_midpoints_never_cross_cone_apex():
     """A near plane smaller than half the first sample gap must not
     extrapolate the first interval edge to t0 < 0 (the frustum moment

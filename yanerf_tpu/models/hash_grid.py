@@ -75,6 +75,49 @@ def _table_lookup_fwd(table, flat_idx):
 # YANERF_HASHGRID_BWD_SCAN_CHUNK.
 _BWD_SCAN_CHUNK = int(os.environ.get("YANERF_HASHGRID_BWD_SCAN_CHUNK", str(1 << 15)))
 _BWD_SCAN_THRESHOLD = int(os.environ.get("YANERF_HASHGRID_BWD_SCAN_THRESHOLD", str(1 << 18)))
+# Backward formulation override: "auto" (threshold-based scatter/scan, the
+# round-4 default), "scatter"/"scan" (force one path), or "sort" — the
+# round-5 SCATTER-FREE formulation. Rationale: the round-4 chunk sweep
+# (results/ngp_scan_sweep.json) measured one-shot scatter == every scan
+# chunk size == ~2.9-3.0 s/step at the 4096-ray flagship, i.e. the cost is
+# the ~100M scatter-add updates/step themselves (TPU scatters are
+# issue-rate-bound, docs/performance.md) — no scatter-based reformulation
+# can beat it. "sort" replaces the scatter entirely: sort updates by row,
+# segmented tree-reduce within equal-row runs (Hillis-Steele doubling over
+# the SORTED stream — sidx[i] == sidx[i+s] implies the whole window is one
+# run), then ONE (n_rows,) searchsorted + gather of each run's total.
+# Sort + elementwise passes + gathers, zero scatters.
+_BWD_MODE = os.environ.get("YANERF_HASHGRID_BWD", "auto")
+
+
+def _shift_up(a: jax.Array, s: int, fill) -> jax.Array:
+    return jnp.concatenate([a[s:], jnp.full((s, *a.shape[1:]), fill, a.dtype)])
+
+
+def _bwd_sort(idx: jax.Array, ct: jax.Array, n_rows: int) -> jax.Array:
+    """Scatter-free table gradient: sort by row + segmented tree-reduce.
+
+    Exact (each row's cotangents are summed in a tree order over ONLY that
+    row's terms — no prefix-sum cancellation across rows). Cost: one
+    ``lax.sort`` of the updates keyed by row index, ``ceil(log2 N)``
+    elementwise doubling passes, and one gather per table row.
+    """
+    n, n_feats = ct.shape
+    arrs = jax.lax.sort((idx,) + tuple(ct[:, f] for f in range(n_feats)), num_keys=1)
+    sidx, svals = arrs[0], list(arrs[1:])
+    s = 1
+    while s < n:
+        # -1 never equals a real row index, so tail padding breaks runs
+        same = sidx == _shift_up(sidx, s, -1)
+        svals = [v + jnp.where(same, _shift_up(v, s, 0.0), 0.0) for v in svals]
+        s <<= 1
+    rows = jnp.arange(n_rows, dtype=sidx.dtype)
+    start = jnp.searchsorted(sidx, rows, side="left")
+    start_c = jnp.minimum(start, n - 1)
+    present = jnp.take(sidx, start_c) == rows
+    return jnp.stack(
+        [jnp.where(present, jnp.take(v, start_c), 0.0) for v in svals], axis=-1
+    )
 
 
 def _table_lookup_bwd(res, ct):
@@ -83,10 +126,18 @@ def _table_lookup_bwd(res, ct):
     ct = ct.astype(jnp.float32).reshape(-1, n_feats)
     idx = flat_idx.reshape(-1)
     n = idx.shape[0]
+    if _BWD_MODE == "sort":
+        return _bwd_sort(idx, ct, n_rows).astype(table.dtype), None
+    if _BWD_MODE == "scatter":
+        grad = jnp.stack(
+            [jnp.zeros((n_rows,), jnp.float32).at[idx].add(ct[:, f]) for f in range(n_feats)],
+            axis=-1,
+        )
+        return grad.astype(table.dtype), None
     # honor the documented override: threshold 0 forces the scan path even
     # below one chunk (a single-iteration scan — same numerics, lets the
     # scan lowering be validated on-device at any shape)
-    if n <= _BWD_SCAN_THRESHOLD:
+    if n <= _BWD_SCAN_THRESHOLD and _BWD_MODE != "scan":
         # F independent FLAT scatter-adds into (T,) — measured ~6x faster
         # than one row scatter-add into (T, F) (12.6M updates, v5e)
         grad = jnp.stack(

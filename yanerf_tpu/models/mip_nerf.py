@@ -27,6 +27,7 @@ from yanerf_tpu.ops.harmonics import harmonic_embedding
 from yanerf_tpu.ops.mip import (
     conical_frustum_to_gaussian,
     integrated_harmonic_embedding,
+    intervals_from_boundaries,
     intervals_from_midpoints,
 )
 
@@ -46,15 +47,24 @@ class MipNeRFMLP(NeRFMLP):
             unnormalized pixel directions. Must be positive — with the
             radial term zeroed the model degenerates to (slightly blurred)
             point NeRF and loses the anti-aliasing it exists for.
+        interval_mode: how per-sample depth intervals are derived from the
+            shared ``lengths`` tensor. ``midpoint`` (default, the recipe
+            the shipped quality numbers were measured under): intervals
+            centred on the samples. ``boundary`` (paper-faithful): sample
+            ``i`` spans ``[lengths[i], lengths[i+1]]`` — the exact interval
+            the raymarcher composites its density over (mip-NeRF's P+1
+            boundary scheme; see ops/mip.py::intervals_from_boundaries).
     """
 
     # interval-based density: point queries (mesh extraction, AABB fitting)
     # must provide >= 2 samples per ray (ops/mesh.py::_point_query)
     min_samples_per_ray = 2
 
-    def __init__(self, base_radius: float, **kwargs) -> None:
+    def __init__(self, base_radius: float, interval_mode: str = "midpoint", **kwargs) -> None:
         if base_radius <= 0.0:
             raise ValueError(f"base_radius must be > 0, got {base_radius}")
+        if interval_mode not in ("midpoint", "boundary"):
+            raise ValueError(f"interval_mode must be 'midpoint' or 'boundary', got {interval_mode!r}")
         if kwargs.get("contract_coords"):
             raise ValueError(
                 "MipNeRFMLP does not support contract_coords: the contraction "
@@ -67,6 +77,7 @@ class MipNeRFMLP(NeRFMLP):
             raise ValueError("MipNeRFMLP requires input_xyz=True (IPE is the whole point)")
         super().__init__(**kwargs)
         self.base_radius = float(base_radius)
+        self.interval_mode = interval_mode
 
     def apply(
         self,
@@ -80,7 +91,10 @@ class MipNeRFMLP(NeRFMLP):
     ) -> Dict[str, Any]:
         if lengths.shape[-1] < 2:
             raise ValueError("MipNeRFMLP needs >= 2 samples per ray to form intervals")
-        t0, t1 = intervals_from_midpoints(lengths)
+        derive = (
+            intervals_from_boundaries if self.interval_mode == "boundary" else intervals_from_midpoints
+        )
+        t0, t1 = derive(lengths)
         mean, var = conical_frustum_to_gaussian(origins, directions, t0, t1, self.base_radius)
         embeds = integrated_harmonic_embedding(
             mean,

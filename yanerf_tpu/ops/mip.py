@@ -62,6 +62,32 @@ def intervals_from_midpoints(lengths: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return t0, t1
 
 
+def intervals_from_boundaries(lengths: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-sample intervals treating the samples as interval BOUNDARIES.
+
+    The paper-faithful pairing for this repo's emission-absorption
+    convention: the raymarcher composites density ``i`` over ``deltas[i] =
+    lengths[i+1] - lengths[i]`` (ops/raymarch.py), so the Gaussian for
+    sample ``i`` should moment-match the frustum swept over exactly
+    ``[lengths[i], lengths[i+1]]`` — mip-NeRF's P+1-boundary scheme with
+    the existing ``P`` sample depths playing the boundary role. The last
+    sample (whose compositing delta is the 1e10 background sentinel) gets a
+    bounded interval extended by the previous gap.
+
+    ``interval_mode: boundary`` on ``MipNeRFMLP`` selects this;
+    :func:`intervals_from_midpoints` (intervals centred on the samples)
+    remains the default the shipped quality numbers were measured under.
+    """
+    t0 = lengths
+    last_gap = jnp.maximum(
+        lengths[..., -1:] - lengths[..., -2:-1], jnp.finfo(lengths.dtype).tiny
+    )
+    t1 = jnp.concatenate([lengths[..., 1:], lengths[..., -1:] + last_gap], axis=-1)
+    # degenerate (duplicate-depth) intervals: keep t1 >= t0 so the moment
+    # formulas stay finite (t_delta == 0 reduces to the point encoding)
+    return t0, jnp.maximum(t1, t0)
+
+
 def conical_frustum_to_gaussian(
     origins: jax.Array,
     directions: jax.Array,
