@@ -12,12 +12,19 @@ The same JSON line also records (VERDICT r2 #1):
     schedule (lego_tpu.yml), the reference's exact per-iteration work;
   * fused_wall_ms_per_iter — end-to-end wall per optimizer step with
     K=20 fused dispatch (runner.steps_per_call), host latency included;
-  * eval_fps_800px_full / eval_fps_800px_frontier — 800x800 render fps at
-    the full eval budget (64-64-32) and at the measured quality/fps
-    frontier point (16-16-8, 37.0 test PSNR in results/eval_frontier.json);
+  * eval_fps_800px_full / eval_fps_800px_39psnr_32_32_16 /
+    eval_fps_800px_frontier_16_16_8 — 800x800 render fps at the full eval
+    budget (64-64-32, f32 delivery for cross-round continuity) and at the
+    39.32- and 37.0-PSNR budgets (trained-checkpoint quality from
+    results/eval_frontier.json) with device-side uint8 frame delivery —
+    the format PNG/serving consume; the eval loop is host-delivery-bound
+    at small budgets (results/r5_bisect.json);
   * time_to_35psnr_class_min — minutes for the 20k-iter tuned schedule
     (measured 34.96-36.63 test PSNR band, results/proposal_quality.json)
-    at the fused wall rate measured HERE.
+    at the fused wall rate measured HERE;
+  * time_to_35psnr_min_measured_cli — the in-round MEASURED wall clock of
+    one full scripts/run.py training (val cadence, checkpoints, final
+    test; results/r5_time_to_quality.json).
 """
 
 from __future__ import annotations
@@ -201,12 +208,19 @@ def _time_fused(pipeline, image_hw, steps_per_call=20, n_dispatch=10):
     return (time.perf_counter() - start) / (n_dispatch * steps_per_call)
 
 
-def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2):
+def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2, uint8_delivery=False):
     """Frames/s with the shipped eval method: one frame in flight (frame i+1
     dispatched before frame i's value fetch — exactly eval_one_epoch's
     pipelining), timed against value fetches. Best of ``n_passes`` passes:
     the pooled tunnel occasionally serializes a pass 3-4x slower (a 0.355
-    fps anomaly in an early round-3 bench vs 1.44-1.55 on re-measure)."""
+    fps anomaly in an early round-3 bench vs 1.44-1.55 on re-measure).
+
+    uint8_delivery: cast frames to uint8 ON DEVICE before the host fetch —
+    the format PNG writing and serving consume anyway. At small point
+    budgets the eval loop is host-delivery-bound through the tunnel (the
+    round-5 bisect measured identical code swinging 2.4-4.1 fps at f32;
+    results/r5_bisect.json), and uint8 delivery recovers the >5 fps class
+    (5.35 fps at 16-16-8, 5.14 at 32-32-16 in the same sessions)."""
     import jax
     import jax.numpy as jnp
 
@@ -221,7 +235,10 @@ def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2):
             params, rng, poses=poses, focal_lengths=focals,
             evaluation_mode=EvaluationMode.EVALUATION,
         )
-        return preds["rendered_images"]
+        img = preds["rendered_images"]
+        if uint8_delivery:
+            img = jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        return img
 
     render = jax.jit(render_fn)
     rng = jax.random.PRNGKey(1)
@@ -305,10 +322,23 @@ def _emit(results: dict) -> None:
         # minutes for the tuned 20k-iter schedule (34.96-36.63 test PSNR
         # band, results/proposal_quality.json) at the fused rate measured here
         line["time_to_35psnr_class_min"] = round(results["fused_s"] * 20_000 / 60.0, 2)
+    if "ttq_measured_min" in results:
+        # MEASURED full-CLI wall clock (scripts/run.py, val + checkpoints +
+        # best-model monitor + final test) to the 35-PSNR class, recorded
+        # in-round by benchmarks/r5_time_to_quality.py
+        line["time_to_35psnr_min_measured_cli"] = results["ttq_measured_min"]
+        line["time_to_35psnr_measured_test_psnr"] = results.get("ttq_psnr")
     if "fps_full" in results:
         line["eval_fps_800px_full_budget"] = round(results["fps_full"], 3)
     if "fps_frontier" in results:
+        # uint8 frame delivery (what PNG/serving consume); trained-checkpoint
+        # quality at this budget: 37.0-37.3 test PSNR (results/eval_frontier
+        # .json, results/occupancy_eval.json)
         line["eval_fps_800px_frontier_16_16_8"] = round(results["fps_frontier"], 3)
+    if "fps_39psnr" in results:
+        # the 32-32-16 eval budget measured 39.32 test PSNR on the trained
+        # two-level checkpoint (results/eval_frontier.json); uint8 delivery
+        line["eval_fps_800px_39psnr_32_32_16"] = round(results["fps_39psnr"], 3)
     print(json.dumps(line), flush=True)
 
 
@@ -414,21 +444,52 @@ def main():
         _progress(f"eval full: {results['fps_full']:.2f} fps")
 
     def phase_eval_frontier():
-        _progress("eval frontier (16-16-8): compiling...")
+        _progress("eval frontier (16-16-8, uint8 delivery): compiling...")
         results["fps_frontier"] = _time_eval_fps(
             _proposal_pipeline(
                 n_rays=N_RAYS, image_hw=IMAGE_HW,
                 eval_sampler_pts=16, eval_intermediate=(16,), eval_final=8,
             ),
             n_frames=8,
+            uint8_delivery=True,
         )
         _progress(f"eval frontier: {results['fps_frontier']:.2f} fps")
+
+    def phase_eval_39psnr():
+        _progress("eval 39-PSNR class (32-32-16, uint8 delivery): compiling...")
+        results["fps_39psnr"] = _time_eval_fps(
+            _proposal_pipeline(
+                n_rays=N_RAYS, image_hw=IMAGE_HW,
+                eval_sampler_pts=32, eval_intermediate=(32,), eval_final=16,
+            ),
+            n_frames=8,
+            uint8_delivery=True,
+        )
+        _progress(f"eval 39-PSNR class: {results['fps_39psnr']:.2f} fps")
+
+    def phase_ttq_measured():
+        # no device work: surface the in-round measured full-CLI wall clock
+        import os.path as osp
+
+        path = osp.join(osp.dirname(osp.abspath(__file__)), "results", "r5_time_to_quality.json")
+        if osp.exists(path):
+            with open(path) as fp:
+                rec = json.load(fp)
+            if rec.get("wall_min") is not None:
+                results["ttq_measured_min"] = round(float(rec["wall_min"]), 2)
+                results["ttq_psnr"] = round(float(rec.get("test_psnr", 0.0)), 2)
+                _progress(
+                    f"measured CLI time-to-quality: {results['ttq_measured_min']} min "
+                    f"to {results['ttq_psnr']} test PSNR (results/r5_time_to_quality.json)"
+                )
 
     phases = [
         ("proposal", phase_proposal, 600.0),
         ("classic", phase_classic, 360.0),
         ("fused", phase_fused, 360.0),
+        ("ttq_measured", phase_ttq_measured, 30.0),
         ("eval_full", phase_eval_full, 300.0),
+        ("eval_39psnr", phase_eval_39psnr, 240.0),
         ("eval_frontier", phase_eval_frontier, 240.0),
     ]
     for name, fn, deadline in phases:

@@ -120,7 +120,9 @@ def main():
     # pooling it into the multiscale means would poison the comparison. The
     # divergence is reported in ab_r3.json (and the mip_softplus arm targets it).
     ab = json.loads((REPO / "results" / "ab_r3.json").read_text())["runs"]
-    for arm in ("mip_classic_s42", "mip_classic_s43", "classic_exact_s42", "classic_exact_s43"):
+    for arm in ("mip_classic_s42", "mip_classic_s43", "classic_exact_s42", "classic_exact_s43",
+                "mip_softplus_s42", "mip_softplus_s43",  # shipped recipe (midpoint intervals)
+                "mip_boundary_s42", "mip_boundary_s43"):  # round-5 paper-faithful pairing
         train_psnr = ab.get(arm, {}).get("test_psnr")
         if train_psnr is not None and train_psnr < 25.0:
             record.setdefault("excluded", {})[arm] = {

@@ -1,6 +1,7 @@
 from .blender import BlenderDataset, BlenderDatasetWrapper
 from .builder import DATASETS
 from .llff import LLFFDataset, LLFFDatasetWrapper
+from .multiscene import MultiSceneBlenderDataset, MultiSceneBlenderWrapper
 from .loader import (
     DataLoader,
     DeviceCachedLoader,
@@ -19,6 +20,8 @@ __all__ = [
     "BlenderDatasetWrapper",
     "LLFFDataset",
     "LLFFDatasetWrapper",
+    "MultiSceneBlenderDataset",
+    "MultiSceneBlenderWrapper",
     "DataLoader",
     "DeviceCachedLoader",
     "ShardedEpochSampler",
