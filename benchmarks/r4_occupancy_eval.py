@@ -39,7 +39,10 @@ CKPT_RUN = REPO / "results" / "nerf" / "synth800_proposal_2p40" / "version_0"
 OCC_NPZ = WORK / "occupancy.npz"
 # shipped fitted box for this checkpoint (configs/nerf/synth800_proposal.yml)
 AABB = [-1.222, -1.1953, -1.5118, 1.1276, 1.2583, 0.9764]
-BUDGETS = [(64, 64, 32), (32, 32, 16), (16, 16, 8), (8, 8, 4)]
+BUDGETS = [(64, 64, 32), (48, 48, 24), (32, 32, 16), (16, 16, 8), (8, 8, 4)]
+# (48-48-24 added round 5: ROADMAP #2's unmeasured point — the 39.5-class
+# budget with the fitted AABB and the occfast bounds; earlier-round arms are
+# skip-cached in the record, so only the new budget's arms run.)
 
 
 def log(msg):

@@ -38,6 +38,14 @@ def main():
     ap.add_argument("--n_spheres", type=int, default=5)
     ap.add_argument("--radius", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--bg", type=float, default=0.9,
+        help="background intensity. Bright by default: on a mostly-black "
+        "scene 'predict background everywhere' is a strong local minimum "
+        "that conditioned AND unconditioned models fall into identically "
+        "(measured 14.1 dB both), so the latent A/B needs collapse to be "
+        "costly",
+    )
     args = ap.parse_args()
 
     from PIL import Image
@@ -60,7 +68,7 @@ def main():
                     [np.cos(u) * np.cos(elev), np.sin(u) * np.cos(elev), np.sin(elev)]
                 )
                 c2w = look_at_blender(position, np.array([0.0, 0.0, 0.3]))
-                img = render(c2w, args.hw, focal, centers, radii, albedos)
+                img = render(c2w, args.hw, focal, centers, radii, albedos, bg=args.bg)
                 name = f"r_{split}_{i}"
                 Image.fromarray((img * 255).astype(np.uint8)).save(out / f"{name}.png")
                 frames.append({"file_path": f"./{name}", "transform_matrix": c2w.tolist()})

@@ -277,7 +277,17 @@ def main(args, config):
     logger.info(f"Hooks: {[type(h).__name__ for h in config.runner['hooks']]}")
 
     train_step = make_train_step(pipeline, optimizer, mesh=mesh, rasterize_mc=False)
-    train_step_vis = make_train_step(pipeline, optimizer, mesh=mesh, rasterize_mc=True, donate=False)
+    # runner.train_vis: false skips the periodic MC-rasterized sanity dump
+    # (and its separate jitted program). Besides the compile/ckpt-size
+    # savings, this environment's remote XLA compile helper crashes
+    # nondeterministically on some scatter lowerings and the client then
+    # hangs in a silent ~25-min native retry — observed twice on the
+    # multiscene configs' vis step (round-5 log); the knob is the opt-out.
+    train_step_vis = (
+        make_train_step(pipeline, optimizer, mesh=mesh, rasterize_mc=True, donate=False)
+        if config.runner.get("train_vis", True)
+        else None
+    )
     eval_step = make_eval_step(pipeline, mesh=mesh)
     # Fused K-step dispatches (runner.steps_per_call > 1): amortizes host
     # dispatch latency over K on-device train steps; requires the device

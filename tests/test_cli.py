@@ -189,15 +189,19 @@ def test_run_cli_auto_resume(tmp_path):
     )
     assert r1.returncode == 0, r1.stderr
 
+    # the resume leg also covers runner.train_vis=false (no MC-rasterize vis
+    # program built; the sanity-dump message must not appear for this leg)
     r2 = subprocess.run(
         [sys.executable, "scripts/run.py", "--config", str(cfg_path), "--device", "cpu",
-         "--auto_resume", "--cfg_options", "runner.num_iters=16"],
+         "--auto_resume", "--cfg_options", "runner.num_iters=16", "runner.train_vis=False"],
         cwd=REPO_ROOT, capture_output=True, text=True, timeout=600, env=env,
     )
     assert r2.returncode == 0, r2.stderr
     assert not (output_root / "version_1").exists(), "auto_resume must reuse version_0"
     log = (output_root / "version_0" / "run.log").read_text()
     assert "Resumed checkpoint from" in log
+    resumed_leg = log.split("Resumed checkpoint from", 1)[1]
+    assert "save training image" not in resumed_leg
     # training continued past the first run's final epoch (8 iters = 2 epochs)
     train_stats = [
         json.loads(line)
