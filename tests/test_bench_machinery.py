@@ -81,27 +81,14 @@ def test_emit_falls_back_to_classic_headline(capsys):
 
 
 @pytest.mark.slow
-def test_dryrun_parent_never_imports_jax():
+def test_dryrun_parent_never_imports_jax(dryrun_multichip_proc):
     """The parent decides from env vars alone; a poisoned ``jax`` module in
     the parent must be harmless because only the re-exec'd child (a fresh
-    interpreter with clean sys.modules) touches jax."""
-    code = (
-        "import sys, types\n"
-        "poison = types.ModuleType('jax')\n"
-        "class _Boom:\n"
-        "    def __getattr__(self, name): raise AssertionError('parent touched jax.' + name)\n"
-        "poison.__getattr__ = lambda name: (_ for _ in ()).throw(AssertionError('parent touched jax.' + name))\n"
-        "sys.modules['jax'] = poison\n"
-        "import __graft_entry__ as g\n"
-        "g.dryrun_multichip(8)\n"
-    )
-    env = dict(os.environ)
-    env.pop("YANERF_GRAFT_FORCE_CPU", None)
-    env.pop("YANERF_DRYRUN_REAL_DEVICES", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run(
-        [sys.executable, "-c", code], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=600,
-    )
+    interpreter with clean sys.modules) touches jax. Asserts on the SHARED
+    session dryrun run (tests/conftest.py), whose parent jax module IS
+    poisoned — one subprocess serves this and test_graft_entry's
+    bootstrap check."""
+    proc = dryrun_multichip_proc
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip OK" in proc.stdout
+    assert "parent touched jax." not in proc.stdout + proc.stderr

@@ -76,3 +76,28 @@ def linear_with_repeat(
     out1 = jnp.dot(x, w1, preferred_element_type=jnp.float32)
     out2 = jnp.dot(y, w2, preferred_element_type=jnp.float32)
     return out1 + b + out2[..., None, :]
+
+
+def concat_global_codes(embeds: jax.Array, global_codes, latent_dim: int) -> jax.Array:
+    """Validate + broadcast per-batch latent codes onto a point embedding.
+
+    The conditioning contract shared by every implicit-function family
+    (ref yanerf/pipelines/models/nerf_mlp.py:160-183,319-335): codes are
+    ``(B, latent_dim)`` (any extra dims flattened), broadcast across all
+    spatial/point axes of ``embeds`` and concatenated on the feature axis.
+    """
+    if global_codes is None:
+        if latent_dim != 0:
+            raise ValueError("latent_dim > 0 requires global_codes")
+        return embeds
+    global_codes = global_codes.reshape(global_codes.shape[0], -1)
+    if global_codes.shape[-1] != latent_dim:
+        raise ValueError(
+            f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {latent_dim}"
+        )
+    bs = embeds.shape[0]
+    broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (latent_dim,)
+    codes = jnp.broadcast_to(
+        global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], latent_dim)
+    ).astype(embeds.dtype)
+    return jnp.concatenate([embeds, codes], axis=-1)

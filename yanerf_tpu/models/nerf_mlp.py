@@ -142,24 +142,12 @@ class NeRFMLP:
     def _concat_global_codes(self, embeds: jax.Array, global_codes) -> jax.Array:
         """Validate + broadcast latent conditioning codes onto the embedding.
 
-        Shared by NeRFMLP.apply and MipNeRFMLP.apply so the conditioning
-        contract cannot drift between the families.
+        Shared by NeRFMLP/MipNeRFMLP/ProposalMLP (layers.concat_global_codes)
+        so the conditioning contract cannot drift between the families.
         """
-        if global_codes is None:
-            if self.latent_dim != 0:
-                raise ValueError("latent_dim > 0 requires global_codes")
-            return embeds
-        global_codes = global_codes.reshape(global_codes.shape[0], -1)
-        if global_codes.shape[-1] != self.latent_dim:
-            raise ValueError(
-                f"global_codes dim {global_codes.shape[-1]} is incompatible with latent_dim {self.latent_dim}"
-            )
-        bs = embeds.shape[0]
-        broadcast_shape = (bs,) + (1,) * (embeds.ndim - 2) + (self.latent_dim,)
-        codes = jnp.broadcast_to(
-            global_codes.reshape(broadcast_shape), (*embeds.shape[:-1], self.latent_dim)
-        )
-        return jnp.concatenate([embeds, codes], axis=-1)
+        from .layers import concat_global_codes
+
+        return concat_global_codes(embeds, global_codes, self.latent_dim)
 
     def apply(
         self,

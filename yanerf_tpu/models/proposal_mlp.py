@@ -23,7 +23,7 @@ from yanerf_tpu.ops.harmonics import harmonic_embedding, harmonic_embedding_dim
 from yanerf_tpu.ops.rays import contract_points, ray_bundle_to_ray_points
 
 from .builder import MODELS
-from .layers import init_linear_xavier, linear
+from .layers import concat_global_codes, init_linear_xavier, linear
 
 
 @MODELS.register_module()
@@ -39,6 +39,7 @@ class ProposalMLP:
         color_dim: int = 3,
         compute_dtype: str = "float32",
         contract_coords: bool = False,
+        latent_dim: int = 0,
     ) -> None:
         self.n_layers = n_layers
         self.hidden_dim = hidden_dim
@@ -47,9 +48,14 @@ class ProposalMLP:
         self.color_dim = color_dim
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.contract_coords = contract_coords
-        self.latent_dim = 0  # pipeline contract parity with NeRFMLP
-        self.input_dim = harmonic_embedding_dim(
-            3, n_harmonic_functions_xyz, harmonic_functions_xyz_append_intput
+        # latent conditioning (round 5): in a multi-scene setting the
+        # proposal DENSITY is scene-dependent too, so the sampler model
+        # takes the same broadcast-concat global_codes as NeRFMLP
+        # (contract per ref nerf_mlp.py:160-183); 0 = unconditioned.
+        self.latent_dim = int(latent_dim)
+        self.input_dim = (
+            harmonic_embedding_dim(3, n_harmonic_functions_xyz, harmonic_functions_xyz_append_intput)
+            + self.latent_dim
         )
 
     def init(self, rng: jax.Array) -> Dict[str, Any]:
@@ -72,8 +78,6 @@ class ProposalMLP:
         global_codes: Optional[jax.Array] = None,
         **kwargs,
     ) -> Dict[str, Any]:
-        if global_codes is not None:
-            raise ValueError("ProposalMLP does not support latent conditioning")
         points = ray_bundle_to_ray_points(origins, directions, lengths)
         if self.contract_coords:
             points = contract_points(points)
@@ -81,7 +85,8 @@ class ProposalMLP:
             points,
             self.n_harmonic_functions_xyz,
             append_input=self.harmonic_functions_xyz_append_intput,
-        ).astype(self.compute_dtype)
+        )
+        x = concat_global_codes(x, global_codes, self.latent_dim).astype(self.compute_dtype)
         for layer in params["mlp"]:
             x = jax.nn.relu(linear(layer, x, self.compute_dtype))
         raw_density = linear(params["density_layer"], x, self.compute_dtype).astype(jnp.float32)
