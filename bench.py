@@ -208,19 +208,21 @@ def _time_fused(pipeline, image_hw, steps_per_call=20, n_dispatch=10):
     return (time.perf_counter() - start) / (n_dispatch * steps_per_call)
 
 
-def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2, uint8_delivery=False):
-    """Frames/s with the shipped eval method: one frame in flight (frame i+1
-    dispatched before frame i's value fetch — exactly eval_one_epoch's
-    pipelining), timed against value fetches. Best of ``n_passes`` passes:
-    the pooled tunnel occasionally serializes a pass 3-4x slower (a 0.355
-    fps anomaly in an early round-3 bench vs 1.44-1.55 on re-measure).
+def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2, uint8_delivery=False, depth=2):
+    """Frames/s with the shipped eval method: ``depth`` frames in flight
+    (frame i+depth dispatched before frame i's value fetch — exactly
+    eval_one_epoch's pipelining, default eval_frames_in_flight=2), timed
+    against value fetches. Best of ``n_passes`` passes: the pooled tunnel
+    occasionally serializes a pass 3-4x slower (a 0.355 fps anomaly in an
+    early round-3 bench vs 1.44-1.55 on re-measure).
 
     uint8_delivery: cast frames to uint8 ON DEVICE before the host fetch —
     the format PNG writing and serving consume anyway. At small point
     budgets the eval loop is host-delivery-bound through the tunnel (the
     round-5 bisect measured identical code swinging 2.4-4.1 fps at f32;
-    results/r5_bisect.json), and uint8 delivery recovers the >5 fps class
-    (5.35 fps at 16-16-8, 5.14 at 32-32-16 in the same sessions)."""
+    results/r5_bisect.json), and uint8 delivery + depth-2 pipelining
+    recovers the >5 fps class (5.35 fps at 16-16-8, 5.14 at 32-32-16 in
+    the same sessions; depth 1 leaves 32-32-16 at ~3.5)."""
     import jax
     import jax.numpy as jnp
 
@@ -247,12 +249,13 @@ def _time_eval_fps(pipeline, image_hw=800, n_frames=5, n_passes=2, uint8_deliver
     best = 0.0
     for _ in range(n_passes):
         start = time.perf_counter()
-        pending = render(params, jax.random.fold_in(rng, 0), poses, focals)
-        for i in range(1, n_frames):
-            nxt = render(params, jax.random.fold_in(rng, i), poses, focals)
-            np.asarray(pending)
-            pending = nxt
-        np.asarray(pending)
+        pending = []
+        for i in range(n_frames):
+            pending.append(render(params, jax.random.fold_in(rng, i), poses, focals))
+            if len(pending) > depth:
+                np.asarray(pending.pop(0))
+        for p in pending:
+            np.asarray(p)
         best = max(best, n_frames / (time.perf_counter() - start))
     return best
 

@@ -206,3 +206,32 @@ def test_async_vis_writer_propagates_worker_errors(tmp_path):
     bad.submit(preds, RunType.TEST, "/proc/definitely/not/writable", 0, 1)
     with pytest.raises(Exception):
         bad.close()
+
+
+def test_eval_frames_in_flight_depth_is_result_identical(tmp_path):
+    """eval_frames_in_flight only reorders host-side consumption: stats and
+    written frames must be bit-identical at any pipelining depth."""
+    pipeline = _tiny_pipeline()
+    dataset = DummyDataset(n_items=5)  # not a multiple of any depth
+    params = pipeline.init(jax.random.PRNGKey(0))
+    eval_step = make_eval_step(pipeline)
+    rng = jax.random.PRNGKey(7)
+
+    stats_by_depth = {}
+    for depth in (1, 3):
+        cfg = ConfigDict(dict(RUNNER_CFG))
+        (tmp_path / f"d{depth}").mkdir()
+        cfg.output_dir = str(tmp_path / f"d{depth}")
+        cfg.eval_frames_in_flight = depth
+        loader = DataLoader(
+            dataset, create_sampler(dataset, shuffle=False), batch_size=1, is_train=False, num_workers=0
+        )
+        stats_by_depth[depth] = eval_one_epoch(
+            RunType.VAL, cfg, 0, params, loader, eval_step, rng, save_image=True
+        )
+    assert stats_by_depth[1] == stats_by_depth[3]
+    f1 = sorted(p.relative_to(tmp_path / "d1") for p in (tmp_path / "d1").rglob("*.png"))
+    f3 = sorted(p.relative_to(tmp_path / "d3") for p in (tmp_path / "d3").rglob("*.png"))
+    assert f1 == f3 and len(f1) == 15  # 5 frames x (images, depths, alpha masks)
+    for rel in f1:
+        assert (tmp_path / "d1" / rel).read_bytes() == (tmp_path / "d3" / rel).read_bytes()

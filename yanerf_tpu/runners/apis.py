@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 import os.path as osp
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -570,12 +570,17 @@ def eval_one_epoch(
         timer.since_last_check()
         return preds
 
-    # One frame stays in flight: frame i+1 is dispatched BEFORE frame i's
-    # value fetch, so the device renders while the host fetches/writes —
-    # measured 2.1x full-budget eval fps on the proposal config
-    # (serial 0.71 -> pipelined 1.48 fps, benchmarks/r3_proposal_profile.py).
-    # Results are identical: this only reorders host-side consumption.
-    pending = None  # (preds, index, times)
+    # Frames stay in flight: frame i+K is dispatched BEFORE frame i's value
+    # fetch, so the device renders while the host fetches/writes — measured
+    # 2.1x full-budget eval fps at depth 1 on the proposal config (serial
+    # 0.71 -> pipelined 1.48 fps, benchmarks/r3_proposal_profile.py), and
+    # depth 2 recovers another ~1.5x at mid point-budgets where the frame
+    # fetch rivals the render (5.14 vs 3.5 fps at 32-32-16,
+    # results/r5_bisect.json fetch probe). Results are identical: this only
+    # reorders host-side consumption. Cost: K frames' prediction buffers
+    # stay live on device (a few MB each at 800x800).
+    depth = max(1, int(config.get("eval_frames_in_flight", 2)))
+    pending: deque = deque()  # each: (preds, index, times)
     for i, data in enumerate(dataloader):
         times: Dict[str, float] = {}
         batch = prepare_batch(data, dataloader.data_wrapper)
@@ -586,12 +591,12 @@ def eval_one_epoch(
 
         new_preds = eval_step(params, batch, jax.random.fold_in(rng, i))
         new_preds.update(batch)
-        if pending is not None:
-            preds = process_frame(*pending)
-        pending = (new_preds, i, times)
+        if len(pending) >= depth:
+            preds = process_frame(*pending.popleft())
+        pending.append((new_preds, i, times))
 
-    if pending is not None:
-        preds = process_frame(*pending)
+    while pending:
+        preds = process_frame(*pending.popleft())
 
     if vis_writer is not None:
         vis_writer.close()
