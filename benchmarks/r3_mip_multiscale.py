@@ -69,7 +69,8 @@ def load_test_frames():
     return np.stack(poses), float(focal), np.stack(images), hw
 
 
-def eval_arm_at_scale(cfg_path: Path, ckpt: Path, poses, focal_800, gt_800, hw_800, scale: int):
+def eval_arm_at_scale(cfg_path: Path, ckpt: Path, poses, focal_800, gt_800, hw_800, scale: int,
+                      extra_model_cfg: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -84,6 +85,8 @@ def eval_arm_at_scale(cfg_path: Path, ckpt: Path, poses, focal_800, gt_800, hw_8
     cfg["pipeline"]["ray_sampler"]["image_width"] = hw
     if cfg["pipeline"]["model"].get("type") == "MipNeRFMLP":
         cfg["pipeline"]["model"]["base_radius"] = BASE_RADIUS_800 * scale
+    for k, v in (extra_model_cfg or {}).items():
+        cfg["pipeline"]["model"][k] = v
     pipeline = PIPELINES.build(cfg.pipeline)
     restored = load_checkpoint(ckpt)
     params = jax.tree_util.tree_map(jnp.asarray, restored["restored"]["params"])
@@ -122,7 +125,8 @@ def main():
     ab = json.loads((REPO / "results" / "ab_r3.json").read_text())["runs"]
     for arm in ("mip_classic_s42", "mip_classic_s43", "classic_exact_s42", "classic_exact_s43",
                 "mip_softplus_s42", "mip_softplus_s43",  # shipped recipe (midpoint intervals)
-                "mip_boundary_s42", "mip_boundary_s43"):  # round-5 paper-faithful pairing
+                "mip_boundary_s42", "mip_boundary_s43",  # round-5 paper-faithful pairing
+                "mip_boundary_12k_s42", "mip_boundary_12k_s43"):  # 12k window-fit variant
         train_psnr = ab.get(arm, {}).get("test_psnr")
         if train_psnr is not None and train_psnr < 25.0:
             record.setdefault("excluded", {})[arm] = {
@@ -149,6 +153,46 @@ def main():
             record["runs"][key] = {"arm": arm.rsplit("_s", 1)[0], "scale": scale, "psnr": round(psnr, 3)}
             # per-(arm, scale) means over seeds
             agg: dict = {}
+            for r in record["runs"].values():
+                agg.setdefault((r["arm"], r["scale"]), []).append(r["psnr"])
+            record["summary"] = {
+                f"{a}_x{s}": {"n": len(v), "mean_psnr": round(float(np.mean(v)), 3)}
+                for (a, s), v in sorted(agg.items())
+            }
+            OUT_JSON.write_text(json.dumps(record, indent=2) + "\n")
+            print(f"DONE {key}: {psnr:.3f}", flush=True)
+
+    # round-5 boundary-at-eval probe (VERDICT r4 #6 fallback, cheap): the
+    # paper-faithful P+1 boundary pairing applied AT EVAL to the
+    # midpoint-trained mip_softplus checkpoints. The interval parameterization
+    # fully determines the IPE footprint at render time, so if the midpoint
+    # deviation were masking an aliasing win, boundary-at-eval would already
+    # move the x2/x4 rows; a flat result corroborates the trained-from-scratch
+    # mip_boundary arm (or stands in for it when the TPU deadline pre-empts
+    # that 36-min training). Train/eval interval mismatch is the caveat —
+    # recorded in the arm name.
+    for src in ("mip_softplus_s42", "mip_softplus_s43"):
+        run_dir = WORK / src
+        ckpt = latest_ckpt(run_dir)
+        if ckpt is None:
+            print(f"SKIP {src} boundary-eval: no checkpoint", flush=True)
+            continue
+        arm = "mip_bndeval"
+        for scale in SCALES:
+            key = f"{arm}_{src.rsplit('_', 1)[1]}_x{scale}"
+            if key in record["runs"]:
+                print(f"SKIP {key} (done)", flush=True)
+                continue
+            sys.path.insert(0, str(REPO / "benchmarks"))
+            from _deadline import should_stop
+            if should_stop(headroom_s=600):
+                print(f"DEADLINE: not starting {key}", flush=True)
+                return
+            psnr = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800,
+                                     gt_800, hw_800, scale,
+                                     extra_model_cfg={"interval_mode": "boundary"})
+            record["runs"][key] = {"arm": arm, "scale": scale, "psnr": round(psnr, 3)}
+            agg = {}
             for r in record["runs"].values():
                 agg.setdefault((r["arm"], r["scale"]), []).append(r["psnr"])
             record["summary"] = {
