@@ -102,12 +102,19 @@ def eval_arm_at_scale(cfg_path: Path, ckpt: Path, poses, focal_800, gt_800, hw_8
     focal = jnp.asarray([focal_800 / scale], dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)
     psnrs = []
+    # MIP_MS_MAX_FRAMES>0 caps the per-row view count (round-5 window fit:
+    # the same views are used at every scale, so the x1->x4 SHAPE within an
+    # arm stays internally consistent; cross-arm comparisons against 32-view
+    # rows carry the extra view noise — note it when reading the table)
+    max_frames = int(os.environ.get("MIP_MS_MAX_FRAMES", "0"))
+    if max_frames > 0:
+        poses = poses[:max_frames]
     for i in range(len(poses)):
         rgb = np.asarray(render(params, jax.random.fold_in(rng, i), jnp.asarray(poses[i]), focal))[0]
         gt = gt_800[i] if scale == 1 else box_downsample(gt_800[i], scale)
         mse = float(np.mean((rgb.astype(np.float32) - gt) ** 2))
         psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
-    return float(np.mean(psnrs))
+    return float(np.mean(psnrs)), len(psnrs)
 
 
 def main():
@@ -149,8 +156,9 @@ def main():
             if should_stop(headroom_s=600):
                 print(f"DEADLINE: not starting {key}", flush=True)
                 return
-            psnr = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800, gt_800, hw_800, scale)
-            record["runs"][key] = {"arm": arm.rsplit("_s", 1)[0], "scale": scale, "psnr": round(psnr, 3)}
+            psnr, n_views = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800, gt_800, hw_800, scale)
+            record["runs"][key] = {"arm": arm.rsplit("_s", 1)[0], "scale": scale, "psnr": round(psnr, 3),
+                                   "n_views": n_views}
             # per-(arm, scale) means over seeds
             agg: dict = {}
             for r in record["runs"].values():
@@ -188,10 +196,11 @@ def main():
             if should_stop(headroom_s=600):
                 print(f"DEADLINE: not starting {key}", flush=True)
                 return
-            psnr = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800,
-                                     gt_800, hw_800, scale,
-                                     extra_model_cfg={"interval_mode": "boundary"})
-            record["runs"][key] = {"arm": arm, "scale": scale, "psnr": round(psnr, 3)}
+            psnr, n_views = eval_arm_at_scale(run_dir / "arm_config.yml", ckpt, poses, focal_800,
+                                              gt_800, hw_800, scale,
+                                              extra_model_cfg={"interval_mode": "boundary"})
+            record["runs"][key] = {"arm": arm, "scale": scale, "psnr": round(psnr, 3),
+                                   "n_views": n_views}
             agg = {}
             for r in record["runs"].values():
                 agg.setdefault((r["arm"], r["scale"]), []).append(r["psnr"])
